@@ -1,0 +1,125 @@
+"""Sequential reference-semantics crawl simulator (the ORACLE).
+
+Mirrors the control flow of the reference's crawl loop
+(/root/reference/findMissingPages.py:24-44): a single-threaded loop that
+fetches in a deterministic order, extracts links in document order, inserts
+every discovered id, and computes the seen set as a distinct-set operation.
+Generalized to the north rule's frontier semantics:
+
+CRAWL SPEC (normative — the Spark engine must reproduce this exactly):
+
+  state: seen = set of canonical URLs ever discovered (seeds included);
+         frontier = discovered, fetchable (robots-allowed), not yet fetched.
+
+  seeds: canonicalized in list order; discovery_ts = index, priority = 0,
+         depth = 0. Duplicate canonical seeds keep the first occurrence.
+         Robots-blocked seeds enter `seen` + `blocked`, never the frontier.
+
+  round r = 0..max_rounds-1, while the frontier is non-empty:
+    1. schedule: within each host, order frontier entries by
+       (priority ASC, discovery_ts ASC, url_canon ASC); take the first
+       per_host_cap; entry at in-host rank k gets
+       offset_ms = k * crawl_delay_ms(host).
+    2. global fetch order: (offset_ms ASC, host ASC, url_canon ASC);
+       consecutive seq numbers continue across rounds (0-based).
+       [politeness: two same-host fetches are >= crawl_delay apart in
+        slot time; order is a pure data property — no wall clock.]
+    3. fetch each scheduled URL in seq order: links_for(url) yields raw
+       children at positions i; child discovery_ts = seq * link_tick + i
+       (the (page_no, link_index) total order of the reference,
+       /root/reference/findMissingPages.py:24-35).
+    4. discover: canonicalize children; first occurrence wins within the
+       round (min discovery_ts); drop already-seen; add the rest to seen;
+       robots-blocked go to blocked; others join the frontier with
+       depth = parent_depth + 1, priority = depth.
+    5. unscheduled frontier entries carry over to the next round.
+
+  outputs: fetch_order [(seq, url_canon, host, round)], seen set,
+           blocked set, per-round metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..datagen.web import CrawlConfig, SyntheticWeb
+from .canonicalize import canonicalize_py, host_py
+
+
+@dataclass
+class SimResult:
+    fetch_order: list[tuple[int, str, str, int]]  # (seq, url_canon, host, round)
+    seen: set[str]
+    blocked: set[str]
+    metrics: list[dict] = field(default_factory=list)
+
+
+def simulate_crawl(cfg: CrawlConfig) -> SimResult:
+    web = SyntheticWeb(cfg.web)
+    robots = {r["host"]: r for r in web.robots_rows()}
+
+    seen: set[str] = set()
+    blocked: set[str] = set()
+    # frontier entries: dict url_canon -> (priority, discovery_ts, depth)
+    frontier: dict[str, tuple[int, int, int]] = {}
+
+    def discover(url_canon: str, priority: int, ts: int, depth: int) -> None:
+        if url_canon in seen:
+            return
+        seen.add(url_canon)
+        host = host_py(url_canon)
+        rules = robots.get(host)
+        path = url_canon.split(host, 1)[1]
+        if rules and any(path.startswith(p) for p in rules["disallow_prefixes"]):
+            blocked.add(url_canon)
+            return
+        frontier[url_canon] = (priority, ts, depth)
+
+    for idx, raw in enumerate(web.seed_urls(cfg.n_seeds)):
+        canon = canonicalize_py(raw)
+        if canon is not None:
+            discover(canon, 0, idx, 0)
+
+    fetch_order: list[tuple[int, str, str, int]] = []
+    metrics: list[dict] = []
+    seq = 0
+    for rnd in range(cfg.max_rounds):
+        if not frontier:
+            break
+        # --- schedule: per-host politeness slots
+        by_host: dict[str, list[str]] = {}
+        for u in frontier:
+            by_host.setdefault(host_py(u), []).append(u)
+        scheduled: list[tuple[int, str, str]] = []  # (offset_ms, host, url)
+        for host, urls in by_host.items():
+            delay = robots[host]["crawl_delay_ms"] if host in robots else 100
+            urls.sort(key=lambda u: (frontier[u][0], frontier[u][1], u))
+            for k, u in enumerate(urls[: cfg.per_host_cap]):
+                scheduled.append((k * delay, host, u))
+        scheduled.sort()  # (offset_ms, host, url_canon)
+
+        # --- fetch in order; extract + discover
+        n_links = n_new = 0
+        for offset_ms, host, url in scheduled:
+            depth = frontier.pop(url)[2]
+            fetch_order.append((seq, url, host, rnd))
+            for i, raw_child in enumerate(web.links_for(url)):
+                n_links += 1
+                canon = canonicalize_py(raw_child)
+                if canon is None:
+                    continue
+                before = len(seen)
+                discover(canon, depth + 1, seq * cfg.link_tick + i, depth + 1)
+                n_new += len(seen) - before
+            seq += 1
+        metrics.append(
+            {
+                "round": rnd,
+                "fetched": len(scheduled),
+                "links_extracted": n_links,
+                "new_urls": n_new,
+                "frontier_after": len(frontier),
+                "seen_after": len(seen),
+            }
+        )
+    return SimResult(fetch_order=fetch_order, seen=seen, blocked=blocked, metrics=metrics)

@@ -1,0 +1,147 @@
+"""Deterministic synthetic web graph.
+
+Finite, seeded link structure shared by BOTH crawl implementations (the
+sequential oracle simulator and the Spark engine). The *graph* is shared; the
+*crawl logic* — ordering, dedup, politeness — is implemented independently on
+each side, which is exactly what the fixtures test.
+
+Properties engineered in:
+- **Hot-host skew**: host0 owns ~10x the page space and receives ~30% of all
+  links (the skew the north rule requires explicit salting for).
+- **Canonicalization noise**: raw links carry uppercase hosts, :80 ports,
+  fragments, ./ and ../ segments, duplicate slashes, and shuffled query
+  params — many raw spellings, one canonical URL (dedup must collapse them,
+  mirroring the reference's distinct-key dedup,
+  /root/reference/findMissingPages.py:38-42).
+- **Robots-blocked zone**: /private/... paths, per-host disallow prefixes and
+  crawl delays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions.hashes import h60
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    n_hosts: int = 12
+    hot_pages: int = 400  # pages on host0
+    cold_pages: int = 48  # pages on every other host
+    seed: str = "web-v1"
+    frag_queries: bool = True
+
+    def pages(self, host_i: int) -> int:
+        return self.hot_pages if host_i == 0 else self.cold_pages
+
+
+def host_name(i: int) -> str:
+    return f"host{i}.test"
+
+
+class SyntheticWeb:
+    def __init__(self, cfg: WebConfig = WebConfig()):
+        self.cfg = cfg
+
+    # ------------------------------------------------------------ pages
+    def page_url(self, host_i: int, page_n: int, q: int | None = None) -> str:
+        base = f"http://{host_name(host_i)}/p/{page_n}"
+        if q is not None:
+            return f"{base}?a={q}&b={q % 3}"
+        return base
+
+    def _noisy(self, host_i: int, page_n: int, q: int | None, hv: int) -> str:
+        """A raw spelling of page_url that canonicalizes back to it."""
+        host = host_name(host_i)
+        path = f"/p/{page_n}"
+        variant = hv % 8
+        if variant == 1:
+            host = host.upper()
+        elif variant == 2:
+            host = host + ":80"
+        elif variant == 3:
+            path = f"/x/..{path}"
+        elif variant == 4:
+            path = f"/./p/./{page_n}"
+        elif variant == 5:
+            path = f"//p//{page_n}"
+        query = ""
+        if q is not None:
+            parts = [f"a={q}", f"b={q % 3}"]
+            if hv % 2 == 1:
+                parts.reverse()  # unsorted on the wire; canonicalizer sorts
+            query = "?" + "&".join(parts)
+        frag = f"#s{hv % 4}" if variant == 6 else ""
+        return f"http://{host}{path}{query}{frag}"
+
+    # ------------------------------------------------------------ links
+    def links_for(self, url_canon: str) -> list[str]:
+        """Deterministic raw out-links of a canonical page URL (document
+        order — link position is the secondary discovery-order key, the
+        analog of xpath order in /root/reference/findMissingPages.py:31-35)."""
+        cfg = self.cfg
+        h0 = h60(cfg.seed + "|deg|" + url_canon)
+        out_degree = 4 + (h0 % 5)  # 4..8
+        links = []
+        for k in range(out_degree):
+            hv = h60(f"{cfg.seed}|lnk|{url_canon}|{k}")
+            if hv % 10 < 3:
+                tgt_host = 0  # 30% of links point at the hot host
+            else:
+                tgt_host = hv % cfg.n_hosts
+            page = (hv >> 8) % cfg.pages(tgt_host)
+            if hv % 17 == 0:
+                links.append(f"http://{host_name(tgt_host)}/private/{page}")
+                continue
+            q = (hv >> 16) % 7 if (cfg.frag_queries and hv % 5 == 0) else None
+            links.append(self._noisy(tgt_host, page, q, hv >> 4))
+        return links
+
+    # ------------------------------------------------------------ seeds
+    def seed_urls(self, n_seeds: int) -> list[str]:
+        """Raw seed list (with noise) — one seed page per host round-robin."""
+        seeds = []
+        for s in range(n_seeds):
+            host_i = s % self.cfg.n_hosts
+            hv = h60(f"{self.cfg.seed}|seed|{s}")
+            page = hv % self.cfg.pages(host_i)
+            seeds.append(self._noisy(host_i, page, None, hv >> 4))
+        return seeds
+
+    # ------------------------------------------------------------ robots
+    def robots_rows(self) -> list[dict]:
+        """Per-host robots rules: disallow prefixes + crawl delay (the
+        politeness budget — analog of the fixed sleeps at
+        /root/reference/findMissingPages.py:11-12,26)."""
+        rows = []
+        for i in range(self.cfg.n_hosts):
+            hv = h60(f"{self.cfg.seed}|robots|{i}")
+            rows.append(
+                {
+                    "host": host_name(i),
+                    "disallow_prefixes": ["/private"] + (["/tmp"] if hv % 3 == 0 else []),
+                    "crawl_delay_ms": int(50 * (1 + hv % 5)),  # 50..250ms
+                }
+            )
+        return rows
+
+    def is_blocked(self, url_canon: str, robots: dict[str, list[str]] | None = None) -> bool:
+        if robots is None:
+            robots = {r["host"]: r["disallow_prefixes"] for r in self.robots_rows()}
+        from ..crawl.canonicalize import host_py
+
+        host = host_py(url_canon)
+        path = url_canon.split(host, 1)[1]
+        return any(path.startswith(p) for p in robots.get(host, []))
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Crawl policy knobs (shared by oracle and engine)."""
+
+    n_seeds: int = 12
+    max_rounds: int = 4
+    per_host_cap: int = 8  # max fetches per host per round (politeness budget)
+    link_tick: int = 1000  # discovery_ts = fetch_seq * link_tick + link_index
+    web: WebConfig = field(default_factory=WebConfig)
