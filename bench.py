@@ -1,0 +1,173 @@
+"""Benchmark entry point.
+
+Default mode (what the driver runs per round):
+  - headline relational/text/similarity queries at $SPARK_GRAFT_SF_DIR
+    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+  - one crawl fetch-round throughput measurement (frontier URLs
+    scheduled+fetched per second — the BASELINE.json metric);
+  - prints ONE JSON line; includes the latest two-parallelism scaling
+    numbers from BENCH_SCALING.json if a --scaling run has been recorded.
+
+Scaling mode (the BASELINE.md protocol, run manually per round):
+  python bench.py --scaling
+  → runs the identical crawl job at local[8] and local[32] on the same
+    deterministic input (N and 4N cores standing in for N and 4N executors),
+    reports urls/sec at both + efficiency = thr_4N / (4 * thr_N), writes
+    BENCH_SCALING.json.
+
+Sub-run mode (internal): python bench.py --crawl-run <cores> <n_urls>
+  → one measured crawl at the given parallelism, prints JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "j2_star_join_agg",
+    "j5_anti_join_missing",
+    "a7_mode_per_group",
+    "a9_hoppe_exponential_weights",
+    "w1_global_topk",
+    "w5_politeness_slotting",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "sim_lsh_bucket_pairs",
+    "text_quality_score",
+]
+
+BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "200000"))
+SCALING_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "1000000"))
+
+
+def _crawl_bench_cfg(n_urls: int):
+    from mongodb_postproc_spark.datagen.web import CrawlConfig, WebConfig
+
+    # One round that fetches every seed: politeness scheduling + fetch +
+    # extract + dedup + state commit over a wide host spread (hot-host skew
+    # present by construction).
+    return CrawlConfig(
+        n_seeds=n_urls,
+        max_rounds=1,
+        per_host_cap=10**9,
+        web=WebConfig(n_hosts=997, hot_pages=200_000, cold_pages=2_000, seed="bench-v1"),
+    )
+
+
+def run_crawl_bench(spark, n_urls: int) -> dict:
+    from mongodb_postproc_spark.crawl.engine import CrawlEngine
+
+    cfg = _crawl_bench_cfg(n_urls)
+    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    eng = CrawlEngine(spark, cfg, wd, expected_urls=max(n_urls * 8, 100_000))
+    t0 = time.monotonic()
+    stats = eng.run()
+    dt = time.monotonic() - t0
+    fetched = sum(s.fetched for s in stats)
+    scheduled_plus_fetched = fetched  # every scheduled URL is fetched in-round
+    return {
+        "n_urls_fetched": fetched,
+        "seconds": round(dt, 2),
+        "urls_per_sec": round(scheduled_plus_fetched / dt, 1),
+    }
+
+
+def run_queries_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def main_default():
+    from mongodb_postproc_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    t0 = time.monotonic()
+    queries = run_queries_bench(spark, sf_dir)
+    crawl = run_crawl_bench(spark, BENCH_URLS)
+    total = round(time.monotonic() - t0, 2)
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_urls_per_sec",
+                "value": crawl["urls_per_sec"],
+                "unit": "urls/sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "suite_seconds": total,
+                "crawl": crawl,
+                "scaling": scaling,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_crawl_run(cores: int, n_urls: int):
+    from mongodb_postproc_spark.session import get_spark
+
+    spark = get_spark(f"bench-crawl-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    res = run_crawl_bench(spark, n_urls)
+    res["cores"] = cores
+    print(json.dumps(res))
+    spark.stop()
+
+
+def main_scaling():
+    """BASELINE.md measurement protocol: same job, local[8] vs local[32]."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py"), "--crawl-run", str(cores),
+             str(SCALING_URLS)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[f"local[{cores}]"] = json.loads(line)
+    thr_n = results["local[8]"]["urls_per_sec"]
+    thr_4n = results["local[32]"]["urls_per_sec"]
+    eff = round(thr_4n / (4 * thr_n), 3)
+    summary = {
+        "n_urls": SCALING_URLS,
+        "urls_per_sec_N": thr_n,
+        "urls_per_sec_4N": thr_4n,
+        "efficiency": eff,
+        "pass_0_8": eff >= 0.8,
+        "runs": results,
+    }
+    with open(os.path.join(here, "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--crawl-run":
+        main_crawl_run(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main_default()

@@ -1,0 +1,170 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+Brute-force cosine is the correctness baseline; the LSH-bucketed variant is
+the 100 TB path (random-hyperplane signs → bucket equi-join → exact cosine
+only within buckets — candidate count scales with bucket size, not n²).
+All arithmetic is promoted to double BEFORE any fold so Spark's
+``aggregate`` left-fold and DuckDB's list functions produce identical IEEE
+results; outputs round to 4dp for the hash compare.
+
+Hyperplanes are deterministic md5-derived integer literals rendered into
+BOTH dialects by the same Python loop — no RNG, no drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashes import h60
+from .base import load, register
+
+DIM = 64
+N_PLANES = 8
+
+_SPARK_COS = """
+    aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>),
+                       CAST(b.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y),
+              0.0D, (acc, x) -> acc + x)
+    / (sqrt(aggregate(CAST(a.embedding AS ARRAY<DOUBLE>), 0.0D, (acc, x) -> acc + x * x))
+       * sqrt(aggregate(CAST(b.embedding AS ARRAY<DOUBLE>), 0.0D, (acc, x) -> acc + x * x)))
+"""
+
+_DUCK_COS = """
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+"""
+
+
+def _emb_view(spark: SparkSession, sf: str, name: str = "v_embeddings") -> str:
+    load(spark, sf, "embeddings").createOrReplaceTempView(name)
+    return name
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(({_DUCK_COS}), 4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 8),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+    "Brute-force cosine top-k ANN baseline (query fan-out × full scan; "
+    "rank ties broken by id for determinism)",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(f"""
+        WITH pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round(({_SPARK_COS}), 4) AS cosine
+          FROM {v} a JOIN {v} b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 8),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+          FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """)
+
+
+@register(
+    "sim_threshold_neighbors",
+    f"""
+    SELECT a.vec_id AS query_id,
+           sum(CASE WHEN round(({_DUCK_COS}), 4) >= 0.15 THEN 1 ELSE 0 END) AS n_neighbors
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 16
+    GROUP BY a.vec_id
+    """,
+    "Cosine-threshold neighbor counting (radius search)",
+)
+def sim_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(f"""
+        SELECT a.vec_id AS query_id,
+               sum(CASE WHEN round(({_SPARK_COS}), 4) >= 0.15 THEN 1 ELSE 0 END) AS n_neighbors
+        FROM {v} a JOIN {v} b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id
+    """)
+
+
+@register(
+    "sim_label_centroids",
+    """
+    WITH expanded AS (
+      SELECT label, CAST(i AS INT) AS pos, embedding[CAST(i AS INT)]::DOUBLE AS v
+      FROM embeddings, range(1, 65) r(i))
+    SELECT label, pos, round(avg(v), 4) AS centroid_v
+    FROM expanded WHERE pos <= 8 GROUP BY label, pos
+    """,
+    "Per-label centroid (elementwise mean — IVF coarse-quantizer training "
+    "step; posexplode → groupBy(label, pos))",
+)
+def sim_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(f"""
+        WITH expanded AS (
+          SELECT label, pos + 1 AS pos, CAST(v AS DOUBLE) AS v
+          FROM {v} LATERAL VIEW posexplode(embedding) AS pos, v)
+        SELECT label, pos, round(avg(v), 4) AS centroid_v
+        FROM expanded WHERE pos <= 8 GROUP BY label, pos
+    """)
+
+
+def _plane_literal(p: int, dialect: str) -> str:
+    """Deterministic ±1 hyperplane components as an inline array literal —
+    identical integers in both dialects (md5-derived, seed 'plane')."""
+    comps = [1 if (h60(f"plane|{p}|{i}") & 1) else -1 for i in range(DIM)]
+    inner = ", ".join(str(c) for c in comps)
+    return f"ARRAY({inner})" if dialect == "spark" else f"[{inner}]"
+
+
+def _lsh_sig_exprs(dialect: str) -> str:
+    """Sign-bit LSH signature: bucket = Σ (dot(e, plane_p) > 0) << p."""
+    bits = []
+    for p in range(N_PLANES):
+        lit = _plane_literal(p, dialect)
+        if dialect == "spark":
+            dot = (
+                f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), {lit}, "
+                f"(x, y) -> x * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+            )
+        else:
+            dot = f"list_dot_product(embedding::DOUBLE[], {lit}::DOUBLE[])"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "sim_lsh_bucket_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, label, ({_lsh_sig_exprs("duckdb")}) AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket
+      FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT bucket, count(*) AS n_pairs FROM pairs GROUP BY bucket
+    """,
+    "Random-hyperplane LSH bucketing: sign-bit signature → bucket equi-join "
+    "(the ANN scale path: candidates per bucket, never n²)",
+)
+def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(f"""
+        WITH sigs AS (
+          SELECT vec_id, label, ({_lsh_sig_exprs("spark")}) AS bucket
+          FROM {v}),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket
+          FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT bucket, count(*) AS n_pairs FROM pairs GROUP BY bucket
+    """)

@@ -1,0 +1,321 @@
+"""Text-analysis + deduplication operators over the `documents` table.
+
+The training-data-pipeline battery: exact dedup, n-gram Jaccard, MinHash+LSH,
+SimHash, fingerprinting, token counting, language-ID, quality scoring. All
+hashing goes through the md5-derived h60 (functions/hashes.py) so the DuckDB
+oracle computes the *identical* signatures — the correctness gate covers the
+hash pipelines end-to-end, not just row counts.
+
+Spark side uses spark.sql over temp views where the logic is expression-heavy
+(Catalyst plans SQL and DataFrame calls identically); generated SQL is
+produced by the same Python loop for both dialects so they cannot drift.
+
+Scale notes: every operator here is a scan + explode + hash-aggregate —
+shuffle keys are (doc_id) or (signature band), both high-cardinality and
+skew-free by construction of the hash. At 100 TB the LSH band join is the
+classic near-dup pipeline (shingle → minhash → band → bucket join) with
+bucket sizes bounded by band width; no pairwise O(n²) stage ever
+materializes (the exact-Jaccard confirmer runs only on bucket-collision
+candidates, mirroring Bloom-prefilter + exact-confirm in the crawl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashes import duckdb_h60_sql, spark_h60_sql
+from .base import load, register
+
+STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'for')"
+
+
+def _docs_view(spark: SparkSession, sf: str, name: str = "v_documents") -> str:
+    load(spark, sf, "documents").createOrReplaceTempView(name)
+    return name
+
+
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           round(length(text)::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+    "Token counting (whitespace tokenizer) — training-pipeline basic",
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(f"""
+        SELECT doc_id,
+               size(split(trim(text), '\\\\s+')) AS n_tokens,
+               length(text) AS n_chars_measured,
+               round(CAST(length(text) AS DOUBLE)
+                     / size(split(trim(text), '\\\\s+')), 4) AS avg_token_len
+        FROM {v}
+    """)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tokens
+      FROM documents)
+    SELECT doc_id, lang,
+           len(tokens) AS n_tokens,
+           round(len(list_filter(tokens, t -> t IN {STOPWORDS}))::DOUBLE
+                 / len(tokens), 4) AS stopword_ratio,
+           round(len(list_filter(tokens, t -> length(t) > 6))::DOUBLE
+                 / len(tokens), 4) AS long_token_ratio
+    FROM toks
+    """,
+    "Quality scoring: stopword ratio + long-token ratio (length/punct "
+    "heuristics of a pretraining filter)",
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, lang, split(trim(text), '\\\\s+') AS tokens
+          FROM {v})
+        SELECT doc_id, lang,
+               size(tokens) AS n_tokens,
+               round(CAST(size(filter(tokens, t -> t IN {STOPWORDS})) AS DOUBLE)
+                     / size(tokens), 4) AS stopword_ratio,
+               round(CAST(size(filter(tokens, t -> length(t) > 6)) AS DOUBLE)
+                     / size(tokens), 4) AS long_token_ratio
+        FROM toks
+    """)
+
+
+@register(
+    "text_lang_id_heuristic",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tokens
+      FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN len(list_filter(tokens, t -> t IN {STOPWORDS})) * 1.0
+                     / len(tokens) >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM toks
+    """,
+    "Language-ID n-gram/stopword heuristic (pretraining lang filter)",
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, lang, split(trim(text), '\\\\s+') AS tokens
+          FROM {v})
+        SELECT doc_id, lang AS lang_actual,
+               CASE WHEN size(filter(tokens, t -> t IN {STOPWORDS})) * 1.0
+                         / size(tokens) >= 0.05
+                    THEN 'en' ELSE 'other' END AS lang_guess
+        FROM toks
+    """)
+
+
+@register(
+    "dedup_exact_hash",
+    """
+    SELECT md5(lower(trim(text))) AS content_hash,
+           min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY content_hash
+    """,
+    "Exact dedup: hash-groupBy on normalized content, keep lowest id "
+    "(the distinct-key dedup of findMissingPages.py:38 generalized)",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(f"""
+        SELECT md5(lower(trim(text))) AS content_hash,
+               min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        FROM {v} GROUP BY content_hash
+    """)
+
+
+_DUCK_FP = duckdb_h60_sql("regexp_replace(lower(text), '\\s+', ' ', 'g')")
+_SPARK_FP = spark_h60_sql("regexp_replace(lower(text), '\\\\s+', ' ')")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT source,
+           count(DISTINCT {_DUCK_FP}) AS n_fingerprints,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "Document fingerprinting: 60-bit hash of whitespace-normalized text, "
+    "distinct count per source",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(f"""
+        SELECT source,
+               count(DISTINCT {_SPARK_FP}) AS n_fingerprints,
+               count(*) AS n_docs
+        FROM {v} GROUP BY source
+    """)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pipeline
+# --------------------------------------------------------------------------
+
+N_MINHASH = 4
+SHINGLE = 5
+
+
+def _minhash_exprs(dialect: str) -> str:
+    """One min-hash per salt, identical on both engines."""
+    cols = []
+    for j in range(N_MINHASH):
+        if dialect == "spark":
+            h = spark_h60_sql(f"concat(shingle, ':{j}')")
+        else:
+            h = duckdb_h60_sql(f"shingle || ':{j}'")
+        cols.append(f"min({h}) AS mh{j}")
+    return ", ".join(cols)
+
+
+_SPARK_SHINGLES = """
+    SELECT doc_id, explode(transform(
+             sequence(1, greatest(length(text) - {n}, 1)),
+             i -> substring(text, i, {m}))) AS shingle
+    FROM {v}
+""".strip()
+
+_DUCK_SHINGLES = """
+    SELECT doc_id, unnest([substr(text, CAST(i AS INT), {m})
+                           for i in range(1, greatest(length(text) - {n}, 1) + 1)]) AS shingle
+    FROM documents
+""".strip()
+
+
+@register(
+    "dedup_minhash_signature",
+    f"""
+    WITH shingles AS ({_DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE)})
+    SELECT doc_id, {_minhash_exprs("duckdb")}
+    FROM shingles GROUP BY doc_id
+    """,
+    "MinHash signatures over 5-char shingles (shingle→minhash stage of the "
+    "near-dup pipeline); md5-portable hashes so the oracle checks VALUES",
+)
+def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    shingles = _SPARK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE, v=v)
+    return spark.sql(f"""
+        WITH shingles AS ({shingles})
+        SELECT doc_id, {_minhash_exprs("spark")}
+        FROM shingles GROUP BY doc_id
+    """)
+
+
+def _lsh_pairs_sql(dialect: str, shingles_cte: str) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT {j} AS band, mh{j} AS band_val, doc_id FROM sigs" for j in range(N_MINHASH)
+    )
+    return f"""
+        WITH shingles AS ({shingles_cte}),
+        sigs AS (
+          SELECT doc_id, {_minhash_exprs(dialect)}
+          FROM shingles GROUP BY doc_id),
+        bands AS ({bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _lsh_pairs_sql("duckdb", _DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE)),
+    "MinHash LSH candidate pairs: band → bucket-join (no O(n²) stage); "
+    "the blocked near-dup join J7 of SURVEY.md",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_lsh_pairs_sql("spark", _SPARK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE, v=v)))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash_sql(dialect: str, tokens_cte: str) -> str:
+    h = spark_h60_sql("token") if dialect == "spark" else duckdb_h60_sql("token")
+    shift = "shiftright(th, {i})" if dialect == "spark" else "(th >> {i})"
+    sums = ", ".join(
+        f"sum(CASE WHEN ({shift.format(i=i)} & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    return f"""
+        WITH toks AS ({tokens_cte}),
+        hashed AS (SELECT doc_id, {h} AS th FROM toks),
+        bits AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, {combine} AS simhash FROM bits
+    """
+
+
+_SPARK_TOKENS = "SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS token FROM {v}"
+_DUCK_TOKENS = (
+    "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents"
+)
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql("duckdb", _DUCK_TOKENS),
+    f"SimHash ({SIMHASH_BITS}-bit) per document — token-hash bit voting; "
+    "near-dup docs land at small Hamming distance",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_simhash_sql("spark", _SPARK_TOKENS.format(v=v)))
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (confirmer for LSH candidates)
+# --------------------------------------------------------------------------
+
+
+def _jaccard_sql(dialect: str, tokens_cte: str, max_doc: int) -> str:
+    return f"""
+        WITH toks AS ({tokens_cte}),
+        tsets AS (SELECT DISTINCT doc_id, token FROM toks WHERE doc_id < {max_doc}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tsets GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM tsets a JOIN tsets b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _jaccard_sql("duckdb", _DUCK_TOKENS, 60),
+    "Exact token-set Jaccard ≥0.5 pairs (the exact confirmer behind LSH "
+    "candidates; tolerance-equality pattern of compositionMatcher.py:60)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_jaccard_sql("spark", _SPARK_TOKENS.format(v=v), 60))

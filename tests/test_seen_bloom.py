@@ -1,0 +1,52 @@
+import pandas as pd
+
+from mongodb_postproc_spark.crawl.engine import CrawlEngine
+from mongodb_postproc_spark.crawl.seen import Bloom, merge_state
+from mongodb_postproc_spark.datagen.web import CrawlConfig, WebConfig
+
+
+def test_bloom_no_false_negatives():
+    b = Bloom.sized_for(1000, 0.01)
+    urls = pd.Series([f"http://h{i % 13}.test/p/{i}" for i in range(1000)])
+    b.add(urls)
+    assert b.contains(urls).all()
+
+
+def test_bloom_fpp_reasonable():
+    b = Bloom.sized_for(1000, 0.01)
+    b.add(pd.Series([f"http://a.test/{i}" for i in range(1000)]))
+    probes = pd.Series([f"http://b.test/{i}" for i in range(5000)])
+    fpp = b.contains(probes).mean()
+    assert fpp < 0.05
+
+
+def test_bloom_serde_and_merge():
+    b1 = Bloom.sized_for(500, 0.01)
+    b2 = Bloom(b1.n_bits, b1.n_hashes)
+    u1 = pd.Series([f"http://x.test/{i}" for i in range(200)])
+    u2 = pd.Series([f"http://y.test/{i}" for i in range(200)])
+    b1.add(u1)
+    b2.add(u2)
+    merged = merge_state(
+        [{"bloom_bytes": b1.to_bytes()}, {"bloom_bytes": b2.to_bytes()}]
+    )
+    assert merged.contains(u1).all() and merged.contains(u2).all()
+
+
+def test_engine_bloom_vs_exact_identical(spark, tmp_path):
+    """Bloom is a pure prefilter: crawl output with and without it must be
+    byte-identical (false positives confirmed by the exact anti-join)."""
+    cfg = CrawlConfig(
+        n_seeds=5, max_rounds=2, per_host_cap=3,
+        web=WebConfig(n_hosts=5, hot_pages=40, cold_pages=10, seed="bloom-v1"),
+    )
+    outs = {}
+    for use_bloom in (True, False):
+        wd = str(tmp_path / f"bloom_{use_bloom}")
+        eng = CrawlEngine(spark, cfg, wd, use_bloom=use_bloom)
+        eng.run()
+        outs[use_bloom] = (
+            [(r["seq"], r["url_canon"]) for r in eng.fetch_log().collect()],
+            {r["url_canon"] for r in eng.seen_set().collect()},
+        )
+    assert outs[True] == outs[False]
