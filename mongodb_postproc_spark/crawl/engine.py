@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from dataclasses import dataclass
 
 import pandas as pd
@@ -59,6 +60,25 @@ FETCH_SCHEMA = (
 FRONTIER_COLS = ["url_canon", "host", "priority", "discovery_ts", "depth"]
 
 N_SALTS = 8
+SALT_PREPASS_MAX_CAP = 10_000  # politeness caps are small; beyond this the cap
+# cannot meaningfully bind and the pre-pass shuffle is pure overhead
+
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING", "") == "1"
+
+
+class _StageTimer:
+    """Wall-clock attribution between action boundaries (env-gated; the
+    per-round metrics table is the production path, this is the dev loop)."""
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.t = time.monotonic()
+
+    def mark(self, stage: str) -> None:
+        now = time.monotonic()
+        if _TIMING:
+            print(f"[timing] {self.tag} {stage}: {now - self.t:.2f}s", flush=True)
+        self.t = now
 
 
 def _fetch_factory(cfg: CrawlConfig, rnd: int):
@@ -138,6 +158,13 @@ class CrawlEngine:
     def _read(self, name: str, state: dict) -> DataFrame:
         return self.catalog.read(name, self.spark, snapshot=state["snapshots"].get(name))
 
+    def _upsert(self, name: str, df: DataFrame) -> None:
+        """Append to an existing table, create it on the first round."""
+        if self.catalog.exists(name):
+            self.catalog.append(name, df)
+        else:
+            self.catalog.create_or_replace(name, df)
+
     # ---------------------------------------------------------------- robots
     def _robots_df(self) -> DataFrame:
         rows = SyntheticWeb(self.cfg.web).robots_rows()
@@ -213,6 +240,7 @@ class CrawlEngine:
     # ---------------------------------------------------------------- init
     def init_crawl(self) -> None:
         """Round -1: canonicalize + dedup + robots-split the seed list."""
+        tm = _StageTimer("init")
         web = SyntheticWeb(self.cfg.web)
         raw = web.seed_urls(self.cfg.n_seeds)
         seeds_pdf = pd.DataFrame({"raw_url": raw, "discovery_ts": range(len(raw))})
@@ -225,13 +253,20 @@ class CrawlEngine:
             .withColumn("depth", F.lit(0))
         )
         w = Window.partitionBy("url_canon").orderBy("discovery_ts")
-        seeds = seeds.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        seeds = (
+            seeds.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .localCheckpoint(eager=False)  # canonicalize+dedup once, not per write
+        )
         allowed, blocked = self._split_robots(seeds.select(*FRONTIER_COLS), self._robots_df())
 
+        tm.mark("seed_gen")
         self.catalog.create_or_replace("frontier", allowed.select(*FRONTIER_COLS))
         self.catalog.create_or_replace("seen", seeds.select("url_canon"))
         self.catalog.create_or_replace("blocked", blocked.select("url_canon"))
+        tm.mark("seed_writes")
         self._append_seen_state(seeds.select("url_canon"), epoch=-1)
+        tm.mark("seed_state")
         state = {
             "round_completed": -1,
             "next_seq": 0,
@@ -246,22 +281,35 @@ class CrawlEngine:
     # ---------------------------------------------------------------- round
     def run_round(self, state: dict) -> tuple[dict, RoundStats] | None:
         rnd = state["round_completed"] + 1
+        tm = _StageTimer(f"round{rnd}")
         frontier = self._read("frontier", state)
         if frontier.isEmpty():
             return None
+        tm.mark("frontier_empty_check")
         seen = self._read("seen", state)
         robots = self._robots_df()
         cap = self.cfg.per_host_cap
 
         # -- schedule: salted partial top-k defuses hot-host window skew,
-        #    then the exact per-host politeness window (SURVEY.md W5).
-        salted = frontier.withColumn("__salt", F.pmod(F.xxhash64("url_canon"), F.lit(N_SALTS)))
-        w_salt = Window.partitionBy("host", "__salt").orderBy("priority", "discovery_ts", "url_canon")
-        pre = (
-            salted.withColumn("__sr", F.row_number().over(w_salt))
-            .filter(F.col("__sr") <= cap)
-            .drop("__salt", "__sr")
-        )
+        #    then the exact per-host politeness window (SURVEY.md W5). The
+        #    salted pre-pass only pays for itself when the cap actually
+        #    binds (top-cap of each salt bucket is a superset of the global
+        #    per-host top-cap); with an effectively-unbounded cap it is a
+        #    wasted full-window shuffle, so skip it.
+        if cap < SALT_PREPASS_MAX_CAP:
+            salted = frontier.withColumn(
+                "__salt", F.pmod(F.xxhash64("url_canon"), F.lit(N_SALTS))
+            )
+            w_salt = Window.partitionBy("host", "__salt").orderBy(
+                "priority", "discovery_ts", "url_canon"
+            )
+            pre = (
+                salted.withColumn("__sr", F.row_number().over(w_salt))
+                .filter(F.col("__sr") <= cap)
+                .drop("__salt", "__sr")
+            )
+        else:
+            pre = frontier
         w_host = Window.partitionBy("host").orderBy("priority", "discovery_ts", "url_canon")
         sched = (
             pre.withColumn("__hr", F.row_number().over(w_host))
@@ -276,12 +324,24 @@ class CrawlEngine:
         sched = assign_global_seq(
             sched, ["offset_ms", "host", "url_canon"], out_col="seq", start=state["next_seq"]
         )
+        # reused by the fetch input AND the frontier anti-join — plan once
+        sched = sched.localCheckpoint(eager=False)
+        if _TIMING:
+            sched.count()
+            tm.mark("schedule_only")
 
-        # -- fetch (Arrow-vectorized; order is carried by seq, not wall clock)
-        results = sched.select("seq", "url_canon", "host", "depth").mapInPandas(
+        # -- fetch (Arrow-vectorized; order is carried by seq, not wall
+        #    clock). The parquet write IS the materialization: fetch runs
+        #    exactly once, and every downstream consumer (link extraction,
+        #    counts, lineage, the fetch_log/images projections) reads back
+        #    only the columns it needs — parquet column pruning means the
+        #    image bytes are written once and never re-serialized.
+        fetched = sched.select("seq", "url_canon", "host", "depth").mapInPandas(
             _fetch_factory(self.cfg, rnd), FETCH_SCHEMA
         )
-        results = results.localCheckpoint(eager=True)  # fetch exactly once
+        self._upsert("pages", fetched)
+        results = self.catalog.read("pages", self.spark).filter(F.col("round") == rnd)
+        tm.mark("schedule+fetch+write_pages")
 
         # -- extract + canonicalize + in-batch dedup (first discovery wins)
         children = (
@@ -302,10 +362,15 @@ class CrawlEngine:
             .filter(F.col("__rn") == 1)
             .select(*FRONTIER_COLS)
         )
+        if _TIMING:
+            children.count()
+            tm.mark("extract_children_only")
 
         # -- seen-set check (Bloom prefilter + exact anti-join confirmer)
         bloom = self._load_bloom(state)
+        tm.mark("bloom_load")
         new_urls = self._filter_unseen(children, seen, bloom).localCheckpoint(eager=True)
+        tm.mark("extract+dedup+unseen")
         allowed_new, blocked_new = self._split_robots(new_urls, robots)
 
         # -- commit next state through the catalog (order-safe: _state.json
@@ -313,26 +378,22 @@ class CrawlEngine:
         frontier_next = frontier.join(
             sched.select("url_canon"), "url_canon", "left_anti"
         ).unionByName(allowed_new.select(*FRONTIER_COLS))
-        n_fetched = results.count()
-        links_extracted = results.select(F.sum(F.size("links")).alias("n")).collect()[0]["n"] or 0
+        crow = results.agg(
+            F.count("*").alias("n_fetched"), F.sum(F.size("links")).alias("n_links")
+        ).collect()[0]
+        n_fetched = crow["n_fetched"]
+        links_extracted = crow["n_links"] or 0
         n_new = new_urls.count()
+        tm.mark("counts")
 
         self.catalog.create_or_replace("frontier", frontier_next)
+        tm.mark("write_frontier")
         self.catalog.append("seen", new_urls.select("url_canon"))
-        if blocked_new.isEmpty():
-            pass
-        else:
+        if not blocked_new.isEmpty():
             self.catalog.append("blocked", blocked_new.select("url_canon"))
-        self.catalog.append(
-            "fetch_log", results.select("seq", "url_canon", "host", "round")
-        ) if self.catalog.exists("fetch_log") else self.catalog.create_or_replace(
-            "fetch_log", results.select("seq", "url_canon", "host", "round")
-        )
-        img_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url_canon", "seq"]
-        self.catalog.append("images", results.select(*img_cols)) if self.catalog.exists(
-            "images"
-        ) else self.catalog.create_or_replace("images", results.select(*img_cols))
+        tm.mark("write_seen+blocked")
         self._append_seen_state(new_urls.select("url_canon"), epoch=rnd)
+        tm.mark("write_seen_state")
 
         # per-partition lineage (north rule: partition_id, bloom epoch,
         # last url hash, rows fetched)
@@ -342,12 +403,12 @@ class CrawlEngine:
         ).withColumn("round", F.lit(rnd)).withColumn("bloom_epoch", F.lit(rnd)).select(
             F.col("pid").alias("partition_id"), "bloom_epoch", "last_url_hash", "rows_fetched", "round"
         )
-        self.catalog.append("lineage", lineage) if self.catalog.exists(
-            "lineage"
-        ) else self.catalog.create_or_replace("lineage", lineage)
+        self._upsert("lineage", lineage)
 
+        tm.mark("write_lineage")
         frontier_after = self.catalog.read("frontier", self.spark).count()
         seen_after = self.catalog.read("seen", self.spark).count()
+        tm.mark("post_counts")
         stats = RoundStats(rnd, n_fetched, int(links_extracted), n_new, frontier_after, seen_after)
         metrics_pdf = pd.DataFrame(
             [
@@ -358,9 +419,7 @@ class CrawlEngine:
         )
         metrics_df = self.spark.createDataFrame(metrics_pdf, "round int, metric string, value double")
         metrics_df = metrics_df.withColumn("round", F.lit(rnd))
-        self.catalog.append("metrics", metrics_df) if self.catalog.exists(
-            "metrics"
-        ) else self.catalog.create_or_replace("metrics", metrics_df)
+        self._upsert("metrics", metrics_df)
 
         new_state = {
             "round_completed": rnd,
@@ -368,7 +427,7 @@ class CrawlEngine:
             "snapshots": {
                 t: self.catalog.snapshots(t)[-1]["id"]
                 for t in (
-                    "frontier", "seen", "blocked", "fetch_log", "images",
+                    "frontier", "seen", "blocked", "pages",
                     "seen_state", "lineage", "metrics",
                 )
                 if self.catalog.exists(t)
@@ -393,14 +452,23 @@ class CrawlEngine:
         return all_stats
 
     # ---------------------------------------------------------------- reads
+    # fetch_log and images are PROJECTIONS of the single `pages` landing
+    # table — parquet column pruning makes each read touch only its columns
+    # (the bytes column is written once at fetch time, never re-serialized).
     def fetch_log(self) -> DataFrame:
-        return self.catalog.read("fetch_log", self.spark).orderBy("seq")
+        return (
+            self.catalog.read("pages", self.spark)
+            .select("seq", "url_canon", "host", "round")
+            .orderBy("seq")
+        )
 
     def seen_set(self) -> DataFrame:
         return self.catalog.read("seen", self.spark)
 
     def images(self) -> DataFrame:
-        return self.catalog.read("images", self.spark)
+        return self.catalog.read("pages", self.spark).select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url_canon", "seq"
+        )
 
 
 def validate_images(images: DataFrame) -> DataFrame:

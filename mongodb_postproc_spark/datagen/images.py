@@ -44,8 +44,12 @@ def png_encode(arr: np.ndarray) -> bytes:
         raise ValueError("expected (h, w, 3) uint8")
     h, w, _ = arr.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
-    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b"")
+    # single insert of the filter-type column beats h per-row concats
+    filt = np.zeros((h, 1), dtype=np.uint8)
+    raw = np.concatenate([filt, arr.reshape(h, w * 3)], axis=1).tobytes()
+    # level 1: the fetch stage encodes one image per URL — compression level
+    # is the dominant per-row cost and ratio is irrelevant for synthetic data
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw, 1)) + _chunk(b"IEND", b"")
 
 
 def png_decode(data: bytes) -> np.ndarray:
@@ -116,14 +120,20 @@ def phash64(arr: np.ndarray) -> int:
     """
     luma = arr.astype(np.float64).mean(axis=2)
     h, w = luma.shape
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(8) * w) // 8
-    ye = np.append(ys[1:], h)
-    xe = np.append(xs[1:], w)
-    grid = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            grid[i, j] = luma[ys[i] : ye[i], xs[j] : xe[j]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # fast path: exact 8x8 blocking via reshape (identical means to the
+        # general path when the dims divide evenly, which all generated
+        # sizes do)
+        grid = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        ye = np.append(ys[1:], h)
+        xe = np.append(xs[1:], w)
+        grid = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                grid[i, j] = luma[ys[i] : ye[i], xs[j] : xe[j]].mean()
     bits = (grid > grid.mean()).flatten()
     val = 0
     for b in bits:
@@ -138,12 +148,23 @@ def make_image(url_canon: str) -> dict:
     non-degenerate. Everything derives from md5(url) — no global RNG state.
     """
     hv = h60("img|" + url_canon)
-    rng = np.random.default_rng(hv)
     w = int(32 + 16 * (hv % 3))  # 32 / 48 / 64
     h = int(32 + 16 * ((hv >> 2) % 3))
-    base = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    # hash-derived pseudo-random content (no Generator: per-row RNG init was
+    # ~40% of fetch cost; uint64 mix arithmetic is vectorized and identical
+    # across processes)
+    hv64 = np.uint64(hv)
+    bidx = np.arange(48, dtype=np.uint64)
+    x = hv64 + (bidx + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)  # splitmix64
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    base = (x & np.uint64(0xFF)).astype(np.uint8).reshape(4, 4, 3)
     arr = np.repeat(np.repeat(base, h // 4, axis=0), w // 4, axis=1)[:h, :w]
-    noise = rng.integers(0, 16, size=arr.shape, dtype=np.uint8)
+    nidx = np.arange(h * w * 3, dtype=np.uint64)
+    noise = (
+        ((hv64 ^ (nidx * np.uint64(0x9E3779B97F4A7C15))) >> np.uint64(11)) & np.uint64(0xF)
+    ).astype(np.uint8).reshape(h, w, 3)
     arr = (arr.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
     image_id = f"im_{hv % 10**10:010d}"  # analog of the reference's sd_ id,
     # /root/reference/findMissingPages.py:33
