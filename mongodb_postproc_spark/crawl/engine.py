@@ -267,9 +267,19 @@ class CrawlEngine:
         tm.mark("seed_writes")
         self._append_seen_state(seeds.select("url_canon"), epoch=-1)
         tm.mark("seed_state")
+        counts = seeds.agg(
+            F.count("*").alias("n_seen"),
+        ).collect()[0]
+        n_seen = counts["n_seen"]
+        n_blocked = blocked.count()
         state = {
             "round_completed": -1,
             "next_seq": 0,
+            # running row counters: derived bookkeeping that saves two
+            # full-table count jobs per round (the job-latency floor is the
+            # round's serial fraction — it caps scaling efficiency)
+            "frontier_count": n_seen - n_blocked,
+            "seen_count": n_seen,
             "snapshots": {
                 t: self.catalog.snapshots(t)[-1]["id"]
                 for t in ("frontier", "seen", "blocked", "seen_state")
@@ -283,7 +293,12 @@ class CrawlEngine:
         rnd = state["round_completed"] + 1
         tm = _StageTimer(f"round{rnd}")
         frontier = self._read("frontier", state)
-        if frontier.isEmpty():
+        # counter bookkeeping replaces an isEmpty() probe job; states written
+        # by older checkpoints fall back to the probe
+        if state.get("frontier_count", None) is not None:
+            if state["frontier_count"] == 0:
+                return None
+        elif frontier.isEmpty():
             return None
         tm.mark("frontier_empty_check")
         seen = self._read("seen", state)
@@ -389,7 +404,8 @@ class CrawlEngine:
         self.catalog.create_or_replace("frontier", frontier_next)
         tm.mark("write_frontier")
         self.catalog.append("seen", new_urls.select("url_canon"))
-        if not blocked_new.isEmpty():
+        n_blocked_new = blocked_new.count()  # parent is checkpointed: cheap
+        if n_blocked_new:
             self.catalog.append("blocked", blocked_new.select("url_canon"))
         tm.mark("write_seen+blocked")
         self._append_seen_state(new_urls.select("url_canon"), epoch=rnd)
@@ -406,8 +422,17 @@ class CrawlEngine:
         self._upsert("lineage", lineage)
 
         tm.mark("write_lineage")
-        frontier_after = self.catalog.read("frontier", self.spark).count()
-        seen_after = self.catalog.read("seen", self.spark).count()
+        # derived from the running counters (scheduled URLs leave the
+        # frontier, allowed-new enter; every new URL enters seen) — replaces
+        # two full-table count jobs per round
+        prev_frontier = state.get("frontier_count")
+        prev_seen = state.get("seen_count")
+        if prev_frontier is None or prev_seen is None:  # legacy checkpoint
+            frontier_after = self.catalog.read("frontier", self.spark).count()
+            seen_after = self.catalog.read("seen", self.spark).count()
+        else:
+            frontier_after = prev_frontier - n_fetched + (n_new - n_blocked_new)
+            seen_after = prev_seen + n_new
         tm.mark("post_counts")
         stats = RoundStats(rnd, n_fetched, int(links_extracted), n_new, frontier_after, seen_after)
         metrics_pdf = pd.DataFrame(
@@ -424,6 +449,8 @@ class CrawlEngine:
         new_state = {
             "round_completed": rnd,
             "next_seq": state["next_seq"] + n_fetched,
+            "frontier_count": frontier_after,
+            "seen_count": seen_after,
             "snapshots": {
                 t: self.catalog.snapshots(t)[-1]["id"]
                 for t in (

@@ -175,15 +175,22 @@ SHINGLE = 5
 
 
 def _minhash_exprs(dialect: str) -> str:
-    """One min-hash per salt, identical on both engines."""
+    """N_MINHASH independent min-hash lanes from ONE md5 per shingle: the
+    32-hex-char digest (exposed as column ``hx`` by _HX_CTE) is sliced into
+    four 32-bit lanes — one md5 call per shingle instead of one per salt;
+    the hash is the dominant cost of the signature stage. Identical hex
+    slicing on both engines."""
     cols = []
     for j in range(N_MINHASH):
         if dialect == "spark":
-            h = spark_h60_sql(f"concat(shingle, ':{j}')")
+            h = f"cast(conv(substring(hx, {j * 8 + 1}, 8), 16, 10) as bigint)"
         else:
-            h = duckdb_h60_sql(f"shingle || ':{j}'")
+            h = f"('0x' || substr(hx, {j * 8 + 1}, 8))::BIGINT"
         cols.append(f"min({h}) AS mh{j}")
     return ", ".join(cols)
+
+
+_HX_CTE = "SELECT doc_id, md5(shingle) AS hx FROM shingles"
 
 
 _SPARK_SHINGLES = """
@@ -203,9 +210,10 @@ _DUCK_SHINGLES = """
 @register(
     "dedup_minhash_signature",
     f"""
-    WITH shingles AS ({_DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE)})
+    WITH shingles AS ({_DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE)}),
+    hashed AS ({_HX_CTE})
     SELECT doc_id, {_minhash_exprs("duckdb")}
-    FROM shingles GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
     """,
     "MinHash signatures over 5-char shingles (shingle→minhash stage of the "
     "near-dup pipeline); md5-portable hashes so the oracle checks VALUES",
@@ -214,25 +222,32 @@ def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf)
     shingles = _SPARK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE, v=v)
     return spark.sql(f"""
-        WITH shingles AS ({shingles})
+        WITH shingles AS ({shingles}),
+        hashed AS ({_HX_CTE})
         SELECT doc_id, {_minhash_exprs("spark")}
-        FROM shingles GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     """)
 
 
 def _lsh_pairs_sql(dialect: str, shingles_cte: str) -> str:
+    # classic (b, r) banding with b=2 bands of r=2 rows: a candidate pair
+    # must agree on BOTH minhash lanes of some band — collision probability
+    # for dissimilar docs drops quadratically vs single-lane bands, which
+    # over a shared-vocabulary corpus otherwise produce near-n² candidates
     bands = " UNION ALL ".join(
-        f"SELECT {j} AS band, mh{j} AS band_val, doc_id FROM sigs" for j in range(N_MINHASH)
+        f"SELECT {j} AS band, mh{2 * j} AS v1, mh{2 * j + 1} AS v2, doc_id FROM sigs"
+        for j in range(N_MINHASH // 2)
     )
     return f"""
         WITH shingles AS ({shingles_cte}),
+        hashed AS ({_HX_CTE}),
         sigs AS (
           SELECT doc_id, {_minhash_exprs(dialect)}
-          FROM shingles GROUP BY doc_id),
+          FROM hashed GROUP BY doc_id),
         bands AS ({bands})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_val = b.band_val
+          ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
          AND a.doc_id < b.doc_id
     """
 

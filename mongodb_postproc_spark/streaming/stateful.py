@@ -1,0 +1,93 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The batch crawl engine keeps its seen-set and politeness schedule in catalog
+tables because exact-order fixture reproduction demands round-based batch
+(SURVEY.md §2.9). These operators are the *continuous* forms of the same two
+pieces of state, for a deployment that ingests URL discoveries as a stream:
+
+- :func:`first_seen_stream` — streaming seen-set dedup: the first row per
+  key passes, every later row (same micro-batch or any later one) is
+  dropped. State per key is a single boolean; at 10^10 keys the state store
+  is RocksDB-backed and keys are the shuffle partition key, so state is
+  partitioned exactly like the batch Bloom state table.
+- :func:`politeness_slots_stream` — per-host politeness pacing: each host's
+  URLs receive monotonically increasing fetch slots ``delay_ms`` apart,
+  continuing across micro-batches (state = next free slot). The streaming
+  twin of the batch rank-x-delay window (engine.run_round W5).
+
+Both are driven by deterministic file-source tests (one file per
+micro-batch) against sequential Python oracles in tests/test_stateful.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FIRST_SEEN_OUT = "url_canon string, host string, discovery_ts long"
+FIRST_SEEN_STATE = "seen boolean"
+
+SLOTS_OUT = "url_canon string, host string, discovery_ts long, slot_ms long"
+SLOTS_STATE = "next_slot long"
+
+
+def _first_seen_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the earliest-discovered row for an unseen url_canon key; drop
+    everything else. Deterministic: ties broken by (discovery_ts, host)."""
+    if state.exists:
+        for _ in pdfs:
+            pass
+        return
+    best = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["discovery_ts", "host"]).head(1)
+        if len(pdf) and (best is None or pdf.iloc[0]["discovery_ts"] < best.iloc[0]["discovery_ts"]):
+            best = pdf
+    if best is not None:
+        state.update((True,))
+        yield best[["url_canon", "host", "discovery_ts"]]
+
+
+def first_seen_stream(discoveries: DataFrame) -> DataFrame:
+    """Streaming exact seen-set: url_canon-keyed stateful dedup."""
+    return discoveries.groupBy("url_canon").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_OUT,
+        stateStructType=FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def politeness_slots_fn_factory(delay_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (next_slot,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        # deterministic within-batch order: the same keys the batch engine
+        # schedules by (priority column optional in the stream shape)
+        batch = batch.sort_values(["discovery_ts", "url_canon"]).reset_index(drop=True)
+        batch["slot_ms"] = next_slot + batch.index.to_numpy() * delay_ms
+        state.update((int(next_slot + len(batch) * delay_ms),))
+        yield batch[["url_canon", "host", "discovery_ts", "slot_ms"]]
+
+    return fn
+
+
+def politeness_slots_stream(frontier: DataFrame, delay_ms: int = 100) -> DataFrame:
+    """Per-host politeness pacing with cross-batch state (host-keyed)."""
+    return frontier.groupBy("host").applyInPandasWithState(
+        politeness_slots_fn_factory(delay_ms),
+        outputStructType=SLOTS_OUT,
+        stateStructType=SLOTS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
