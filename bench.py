@@ -79,6 +79,10 @@ def run_crawl_bench(spark, n_urls: int) -> dict:
     dt = time.monotonic() - t0
     fetched = out[1].fetched if out else 0
     scheduled_plus_fetched = fetched  # every scheduled URL is fetched in-round
+    if os.environ.get("SPARK_GRAFT_KEEP_BENCH_DIR", "") != "1":
+        import shutil
+
+        shutil.rmtree(wd, ignore_errors=True)
     return {
         "n_urls_fetched": fetched,
         "seconds": round(dt, 2),

@@ -241,11 +241,23 @@ class CrawlEngine:
     def init_crawl(self) -> None:
         """Round -1: canonicalize + dedup + robots-split the seed list."""
         tm = _StageTimer("init")
-        web = SyntheticWeb(self.cfg.web)
-        raw = web.seed_urls(self.cfg.n_seeds)
-        seeds_pdf = pd.DataFrame({"raw_url": raw, "discovery_ts": range(len(raw))})
+        web_cfg = self.cfg.web
+
+        def gen_seeds(batches):
+            web = SyntheticWeb(web_cfg)
+            for pdf in batches:
+                ids = pdf["id"].astype("int64")
+                yield pd.DataFrame(
+                    {"raw_url": [web.seed_url_at(int(s)) for s in ids], "discovery_ts": ids}
+                )
+
+        # seed generation is index-addressable, so it runs ON THE EXECUTORS
+        # (a 10^10-entry seed list can never be built on the driver; the
+        # production analog is a distributed read of a seed file)
+        n_part = max(2, self.spark.sparkContext.defaultParallelism)
         seeds = (
-            self.spark.createDataFrame(seeds_pdf, "raw_url string, discovery_ts long")
+            self.spark.range(0, self.cfg.n_seeds, 1, numPartitions=n_part)
+            .mapInPandas(gen_seeds, "raw_url string, discovery_ts long")
             .withColumn("url_canon", canonical_url_col(F.col("raw_url")))
             .filter(F.col("url_canon").isNotNull())
             .withColumn("host", host_col(F.col("url_canon")))

@@ -99,15 +99,17 @@ class SyntheticWeb:
         return links
 
     # ------------------------------------------------------------ seeds
+    def seed_url_at(self, s: int) -> str:
+        """Raw seed URL for index ``s`` — a pure function of the index, so
+        seed generation distributes over any partitioning of [0, n)."""
+        host_i = s % self.cfg.n_hosts
+        hv = h60(f"{self.cfg.seed}|seed|{s}")
+        page = hv % self.cfg.pages(host_i)
+        return self._noisy(host_i, page, None, hv >> 4)
+
     def seed_urls(self, n_seeds: int) -> list[str]:
         """Raw seed list (with noise) — one seed page per host round-robin."""
-        seeds = []
-        for s in range(n_seeds):
-            host_i = s % self.cfg.n_hosts
-            hv = h60(f"{self.cfg.seed}|seed|{s}")
-            page = hv % self.cfg.pages(host_i)
-            seeds.append(self._noisy(host_i, page, None, hv >> 4))
-        return seeds
+        return [self.seed_url_at(s) for s in range(n_seeds)]
 
     # ------------------------------------------------------------ robots
     def robots_rows(self) -> list[dict]:
