@@ -44,7 +44,7 @@ HEADLINE = [
     "text_quality_score",
 ]
 
-BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "200000"))
+BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "500000"))
 SCALING_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "1000000"))
 
 
