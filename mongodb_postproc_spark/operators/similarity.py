@@ -168,3 +168,62 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
           FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         SELECT bucket, count(*) AS n_pairs FROM pairs GROUP BY bucket
     """)
+
+
+def _ivf_sql(dialect: str, table: str) -> str:
+    """IVF top-k, single-probe: train per-label centroids (the coarse
+    quantizer), assign every vector to its NEAREST centroid by dot product
+    (not its own label — real inverted-file assignment), then answer each
+    probe query only within its cell. Candidates scale with cell size, never
+    n². Expressed identically in both dialects over exploded (vec_id, pos,
+    v) rows so the DuckDB oracle checks values end-to-end."""
+    if dialect == "spark":
+        expl = f"SELECT vec_id, label, pos, CAST(v AS DOUBLE) AS v FROM {table} LATERAL VIEW posexplode(embedding) AS pos, v"
+    else:
+        expl = (
+            "SELECT vec_id, label, CAST(i AS INT) - 1 AS pos, embedding[CAST(i AS INT)]::DOUBLE AS v "
+            "FROM embeddings, range(1, 65) r(i)"
+        )
+    return f"""
+        WITH ex AS ({expl}),
+        cent AS (
+          SELECT label AS cell, pos, avg(v) AS c
+          FROM ex GROUP BY label, pos),
+        dots AS (
+          SELECT ex.vec_id, cent.cell, sum(ex.v * cent.c) AS dot
+          FROM ex JOIN cent ON ex.pos = cent.pos
+          GROUP BY ex.vec_id, cent.cell),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell ASC) AS rk
+            FROM dots) t WHERE rk = 1),
+        pairs AS (
+          SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+                 round(sum(eq.v * ec.v)
+                       / (sqrt(sum(eq.v * eq.v)) * sqrt(sum(ec.v * ec.v))), 4) AS cosine
+          FROM assign qa
+          JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+          JOIN ex eq ON eq.vec_id = qa.vec_id
+          JOIN ex ec ON ec.vec_id = ca.vec_id AND ec.pos = eq.pos
+          WHERE qa.vec_id < 8
+          GROUP BY qa.vec_id, ca.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+          FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    _ivf_sql("duckdb", "embeddings"),
+    "IVF top-k ANN (single-probe): centroid training → nearest-cell "
+    "assignment → in-cell exact cosine — the inverted-file scale path "
+    "complementing the LSH-bucketed variant",
+)
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(_ivf_sql("spark", v))
