@@ -40,7 +40,9 @@ HEADLINE = [
     "w5_politeness_slotting",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_lsh_bucket_pairs",
+    "sim_ivf_topk",
     "text_quality_score",
 ]
 

@@ -475,12 +475,25 @@ class CrawlEngine:
         self._commit_state(new_state)
         return new_state, stats
 
+    def _reconcile_to_state(self, state: dict) -> None:
+        """Roll every table back to the snapshot the committed state
+        references, dropping data written by a crashed round (the state file
+        is the commit point; anything past it never happened)."""
+        referenced = state["snapshots"]
+        for name in self.catalog.tables():
+            if name in referenced:
+                self.catalog.rollback_to(name, referenced[name])
+            else:
+                self.catalog.drop(name)
+
     # ---------------------------------------------------------------- run
     def run(self, resume: bool = False) -> list[RoundStats]:
         state = self.load_state() if resume else None
         if state is None:
             self.init_crawl()
             state = self.load_state()
+        elif resume:
+            self._reconcile_to_state(state)
         all_stats: list[RoundStats] = []
         while state["round_completed"] + 1 < self.cfg.max_rounds:
             out = self.run_round(state)

@@ -106,6 +106,32 @@ class TableCatalog:
         if os.path.exists(d):
             shutil.rmtree(d)
 
+    def rollback_to(self, name: str, snapshot_id: int) -> None:
+        """Truncate the snapshot log after ``snapshot_id``, deleting orphan
+        data dirs. Appends chain off the manifest tip, so snapshots written
+        by a CRASHED round (data landed, _state.json never updated) must be
+        rolled back before the round retries — otherwise the retry's append
+        would chain the orphan data into its member list (duplicate rows)."""
+        manifest = self._load_manifest(name)
+        snaps = manifest["snapshots"]
+        keep = [s for s in snaps if s["id"] <= snapshot_id]
+        if len(keep) == len(snaps):
+            return
+        if not any(s["id"] == snapshot_id for s in keep):
+            raise ValueError(f"snapshot {snapshot_id} not found for table {name!r}")
+        for s in snaps[len(keep):]:
+            shutil.rmtree(os.path.join(self.root, name, f"snap={s['id']}"), ignore_errors=True)
+        manifest["snapshots"] = keep
+        self._commit_manifest(name, manifest)
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, "_manifest.json"))
+        )
+
     # ------------------------------------------------------------- reads
     def read(self, name: str, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
         snaps = self.snapshots(name)

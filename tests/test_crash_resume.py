@@ -1,0 +1,74 @@
+"""Crash-safety of the checkpoint protocol.
+
+The commit order inside a round is: data snapshots first, `_state.json`
+last (atomic rename). A crash mid-round therefore leaves ORPHAN snapshot
+dirs — written data the state does not reference. Resuming must ignore
+them and reproduce the exact same crawl as an uninterrupted run (the
+engine's analog of the reference's sort+skip restart idiom,
+/root/reference/fix_incorrect_structures.py:235)."""
+
+import json
+import os
+import shutil
+
+from mongodb_postproc_spark.crawl.engine import CrawlEngine
+from mongodb_postproc_spark.crawl.simulator import simulate_crawl
+from mongodb_postproc_spark.datagen.web import CrawlConfig, WebConfig
+
+CFG = CrawlConfig(
+    n_seeds=6,
+    max_rounds=3,
+    per_host_cap=4,
+    web=WebConfig(n_hosts=6, hot_pages=80, cold_pages=16, seed="crash-v1"),
+)
+
+
+def _fetch_order(eng):
+    return [
+        (r["seq"], r["url_canon"], r["host"], r["round"]) for r in eng.fetch_log().collect()
+    ]
+
+
+def test_orphan_snapshots_from_crashed_round_are_ignored(spark, tmp_path):
+    # run one full round, keep its state
+    wd = str(tmp_path / "crashed")
+    one_round = CrawlConfig(n_seeds=6, max_rounds=1, per_host_cap=4, web=CFG.web)
+    CrawlEngine(spark, one_round, wd).run()
+    with open(os.path.join(wd, "_state.json")) as f:
+        state_after_r0 = json.load(f)
+
+    # simulate a crash DURING round 1: round-1 data writes landed (copy the
+    # frontier + seen snapshot dirs as higher-numbered orphans and bump the
+    # manifests) but _state.json was never updated
+    for table in ("frontier", "seen"):
+        tdir = os.path.join(wd, table)
+        mpath = os.path.join(tdir, "_manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        last = manifest["snapshots"][-1]
+        orphan_id = last["id"] + 1
+        shutil.copytree(
+            os.path.join(tdir, f"snap={last['id']}"), os.path.join(tdir, f"snap={orphan_id}")
+        )
+        manifest["snapshots"].append(
+            {"id": orphan_id, "kind": "append", "members": last["members"] + [orphan_id]}
+        )
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+
+    # state still points at the pre-crash snapshots
+    with open(os.path.join(wd, "_state.json")) as f:
+        assert json.load(f) == state_after_r0
+
+    # resume with the full config: rounds 1-2 execute on the committed state
+    eng = CrawlEngine(spark, CFG, wd)
+    eng.run(resume=True)
+
+    # uninterrupted reference run + sequential oracle agree with the resumed run
+    wd2 = str(tmp_path / "clean")
+    eng2 = CrawlEngine(spark, CFG, wd2)
+    eng2.run()
+    assert _fetch_order(eng) == _fetch_order(eng2) == simulate_crawl(CFG).fetch_order
+    assert {r["url_canon"] for r in eng.seen_set().collect()} == {
+        r["url_canon"] for r in eng2.seen_set().collect()
+    }
