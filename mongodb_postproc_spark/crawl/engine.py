@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..datagen.images import decode_image, make_image, psnr
+from ..datagen.images import decode_image, make_image, make_images, psnr
 from ..datagen.web import CrawlConfig, SyntheticWeb
 from ..tables import TableCatalog
 from .canonicalize import canonical_url_col, canonicalize_py, host_col
@@ -93,21 +93,23 @@ def _fetch_factory(cfg: CrawlConfig, rnd: int):
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
-            recs = []
-            for seq, url, host, depth in zip(pdf["seq"], pdf["url_canon"], pdf["host"], pdf["depth"]):
-                img = make_image(url)
-                recs.append(
-                    {
-                        "seq": int(seq),
-                        "url_canon": url,
-                        "host": host,
-                        "depth": int(depth),
-                        "round": rnd,
-                        "links": web.links_for(url),
-                        "pid": pid,
-                        **img,
-                    }
+            urls = list(pdf["url_canon"])
+            imgs = make_images(urls)  # batch-vectorized payload synthesis
+            recs = [
+                {
+                    "seq": int(seq),
+                    "url_canon": url,
+                    "host": host,
+                    "depth": int(depth),
+                    "round": rnd,
+                    "links": web.links_for(url),
+                    "pid": pid,
+                    **img,
+                }
+                for seq, url, host, depth, img in zip(
+                    pdf["seq"], urls, pdf["host"], pdf["depth"], imgs
                 )
+            ]
             yield pd.DataFrame(recs) if recs else pd.DataFrame(
                 columns=["seq", "url_canon", "host", "depth", "round", "links", "pid",
                          "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]

@@ -111,73 +111,120 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+_BIT_WEIGHTS = (1 << np.arange(63, -1, -1, dtype=np.uint64)).reshape(8, 8)
+
+
+def _bits_to_i64(bits: np.ndarray) -> int:
+    val = int((bits.astype(np.uint64) * _BIT_WEIGHTS).sum(dtype=np.uint64))
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def phash64(arr: np.ndarray) -> int:
-    """64-bit average-hash: 8x8 block-mean luma thresholded at its mean.
+    """64-bit average-hash: 8x8 block-mean luma thresholded at the grand
+    mean, computed in EXACT integer arithmetic (block pixel sums) so the
+    result is independent of summation order — batch and scalar pipelines
+    produce identical hashes by construction.
 
     Signed int64 output (Spark/DuckDB BIGINT-safe). Blocking key for the
     near-duplicate join (SURVEY.md J7: the reference blocks structure
     matching by formula; we block images by phash band).
     """
-    luma = arr.astype(np.float64).mean(axis=2)
-    h, w = luma.shape
+    h, w = arr.shape[:2]
+    s = arr.astype(np.int64).sum(axis=2)  # integer 3x-luma, exact
     if h % 8 == 0 and w % 8 == 0:
-        # fast path: exact 8x8 blocking via reshape (identical means to the
-        # general path when the dims divide evenly, which all generated
-        # sizes do)
-        grid = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+        block = s.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        # block_mean > grand_mean  <=>  64*S_ij > sum(S)  (equal block sizes)
+        bits = (64 * block) > block.sum()
     else:
         ys = (np.arange(8) * h) // 8
         xs = (np.arange(8) * w) // 8
         ye = np.append(ys[1:], h)
         xe = np.append(xs[1:], w)
-        grid = np.empty((8, 8))
+        block = np.empty((8, 8), dtype=np.int64)
+        cnt = np.empty((8, 8), dtype=np.int64)
         for i in range(8):
             for j in range(8):
-                grid[i, j] = luma[ys[i] : ye[i], xs[j] : xe[j]].mean()
-    bits = (grid > grid.mean()).flatten()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
-    return val - (1 << 64) if val >= (1 << 63) else val
+                blk = s[ys[i] : ye[i], xs[j] : xe[j]]
+                block[i, j] = blk.sum()
+                cnt[i, j] = blk.size
+        # S_ij/c_ij > sumS/sumC  <=>  S_ij*sumC > sumS*c_ij (ints, no overflow)
+        bits = block * cnt.sum() > block.sum() * cnt
+    return _bits_to_i64(bits)
+
+
+def _phash64_batch(stack: np.ndarray) -> list[int]:
+    """Vectorized phash over an (n, h, w, 3) stack with 8-divisible dims;
+    integer-exact, so identical to per-row :func:`phash64`."""
+    n, h, w, _ = stack.shape
+    s = stack.astype(np.int64).sum(axis=3)
+    block = s.reshape(n, 8, h // 8, 8, w // 8).sum(axis=(2, 4))
+    bits = (64 * block) > block.sum(axis=(1, 2), keepdims=True)
+    vals = (bits.reshape(n, 64).astype(np.uint64) * _BIT_WEIGHTS.reshape(64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return [int(v) - (1 << 64) if v >= (1 << 63) else int(v) for v in vals]
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_CHUNK = 128  # keeps the uint64 noise temporaries cache-resident (measured
+# fastest: 386us/url at 128 vs 1141 at 1024 — the (m, h*w*3) uint64 noise
+# matrix churns allocator + cache above ~25 MB)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def make_images(urls: list[str]) -> list[dict]:
+    """Deterministic image+caption records for a batch of URLs — the fetch
+    stage's payload generator, vectorized across the batch.
+
+    Each record is a pure function of its URL (md5-seeded splitmix64
+    content, no RNG state), so the output is independent of batch
+    composition, ordering, and partitioning — asserted by
+    tests/test_images.py::test_batch_invariance. Rows are grouped by
+    (w, h) and synthesized as numpy stacks; only the PNG deflate runs
+    per row.
+    """
+    n = len(urls)
+    out: list[dict | None] = [None] * n
+    hvs = np.array([h60("img|" + u) for u in urls], dtype=np.uint64)
+    ws = (32 + 16 * (hvs % np.uint64(3))).astype(np.int64)
+    hs = (32 + 16 * ((hvs >> np.uint64(2)) % np.uint64(3))).astype(np.int64)
+    bidx = (np.arange(48, dtype=np.uint64) + np.uint64(1)) * _GOLDEN
+    for w, h in sorted({(int(a), int(b)) for a, b in zip(ws, hs)}):
+        (idx,) = np.nonzero((ws == w) & (hs == h))
+        nidx = np.arange(h * w * 3, dtype=np.uint64) * _GOLDEN
+        for lo in range(0, len(idx), _CHUNK):
+            chunk = idx[lo : lo + _CHUNK]
+            hv = hvs[chunk][:, None]
+            base = (_splitmix(hv + bidx) & np.uint64(0xFF)).astype(np.uint8).reshape(-1, 4, 4, 3)
+            arr = np.repeat(np.repeat(base, h // 4, axis=1), w // 4, axis=2)
+            noise = (((hv ^ nidx) >> np.uint64(11)) & np.uint64(0xF)).astype(np.uint8).reshape(
+                -1, h, w, 3
+            )
+            arr = (arr.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
+            hashes = _phash64_batch(arr)
+            for k, i in enumerate(chunk):
+                hvi = int(hvs[i])
+                out[i] = {
+                    "image_id": f"im_{hvi % 10**10:010d}",  # analog of the
+                    # reference's sd_ id, /root/reference/findMissingPages.py:33
+                    "bytes": png_encode(arr[k]),
+                    "w": w,
+                    "h": h,
+                    "fmt": "png",
+                    "caption": f"synthetic scene {hvi % 9973} of {urls[i]}",
+                    "phash": hashes[k],
+                }
+    return out  # type: ignore[return-value]
 
 
 def make_image(url_canon: str) -> dict:
-    """Deterministic image+caption record for a fetched URL.
-
-    Smooth low-frequency content (upsampled 4x4 noise) so phash buckets are
-    non-degenerate. Everything derives from md5(url) — no global RNG state.
-    """
-    hv = h60("img|" + url_canon)
-    w = int(32 + 16 * (hv % 3))  # 32 / 48 / 64
-    h = int(32 + 16 * ((hv >> 2) % 3))
-    # hash-derived pseudo-random content (no Generator: per-row RNG init was
-    # ~40% of fetch cost; uint64 mix arithmetic is vectorized and identical
-    # across processes)
-    hv64 = np.uint64(hv)
-    bidx = np.arange(48, dtype=np.uint64)
-    x = hv64 + (bidx + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)  # splitmix64
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
-    base = (x & np.uint64(0xFF)).astype(np.uint8).reshape(4, 4, 3)
-    arr = np.repeat(np.repeat(base, h // 4, axis=0), w // 4, axis=1)[:h, :w]
-    nidx = np.arange(h * w * 3, dtype=np.uint64)
-    noise = (
-        ((hv64 ^ (nidx * np.uint64(0x9E3779B97F4A7C15))) >> np.uint64(11)) & np.uint64(0xF)
-    ).astype(np.uint8).reshape(h, w, 3)
-    arr = (arr.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
-    image_id = f"im_{hv % 10**10:010d}"  # analog of the reference's sd_ id,
-    # /root/reference/findMissingPages.py:33
-    caption = f"synthetic scene {hv % 9973} of {url_canon}"
-    return {
-        "image_id": image_id,
-        "bytes": png_encode(arr),
-        "w": w,
-        "h": h,
-        "fmt": "png",
-        "caption": caption,
-        "phash": phash64(arr),
-    }
+    """Single-URL form of :func:`make_images` (same code path, batch of 1)."""
+    return make_images([url_canon])[0]
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -80,3 +80,11 @@ def test_lineage_covers_all_fetches(oracle, engine_run):
     lineage = eng.catalog.read("lineage", eng.spark)
     total = lineage.groupBy().sum("rows_fetched").collect()[0][0]
     assert total == len(oracle.fetch_order)
+
+
+def test_per_host_politeness_budget(engine_run):
+    """No host exceeds its per-round fetch cap (the politeness budget the
+    reference enforces with sleeps, findMissingPages.py:11-12,26)."""
+    eng, _ = engine_run
+    per = eng.fetch_log().groupBy("host", "round").count().collect()
+    assert per and all(r["count"] <= CFG.per_host_cap for r in per), per

@@ -50,3 +50,17 @@ def test_phash_locality():
 def test_jpeg_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         jpeg_decode(b"\xff\xd8fake")
+
+
+def test_batch_invariance():
+    """Payload records are pure functions of the URL: identical regardless
+    of batch composition/order (what makes the fetch stage deterministic
+    under any partitioning)."""
+    from mongodb_postproc_spark.datagen.images import make_images
+
+    urls = [f"http://host{i % 7}.test/p/{i}" for i in range(60)]
+    batch = make_images(urls)
+    singles = [make_images([u])[0] for u in urls]
+    shuffled = make_images(urls[::-1])[::-1]
+    for b, s, sh in zip(batch, singles, shuffled):
+        assert b == s == sh
