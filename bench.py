@@ -55,12 +55,18 @@ def _crawl_bench_cfg(n_urls: int):
 
     # One round that fetches every seed: politeness scheduling + fetch +
     # extract + dedup + state commit over a wide host spread (hot-host skew
-    # present by construction).
+    # present by construction). The page space scales with the seed count
+    # (>=4x) so seeds stay mostly distinct at any n.
     return CrawlConfig(
         n_seeds=n_urls,
         max_rounds=1,
         per_host_cap=10**9,
-        web=WebConfig(n_hosts=997, hot_pages=200_000, cold_pages=2_000, seed="bench-v1"),
+        web=WebConfig(
+            n_hosts=997,
+            hot_pages=max(200_000, n_urls // 5),
+            cold_pages=max(2_000, n_urls // 250),
+            seed="bench-v1",
+        ),
     )
 
 

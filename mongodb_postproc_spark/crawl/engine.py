@@ -210,7 +210,17 @@ class CrawlEngine:
 
         @F.pandas_udf("boolean")
         def might_contain(urls: pd.Series) -> pd.Series:
-            b = Bloom.from_bytes(bloom_bytes)
+            # deserialize once per python worker, not per Arrow batch — at
+            # large rounds the filter is tens of MB and the per-batch
+            # decompress would dominate the whole stage
+            global _BLOOM_CACHE
+            try:
+                cached_key, b = _BLOOM_CACHE
+            except NameError:
+                cached_key, b = None, None
+            if cached_key != id(bloom_bytes) or b is None:
+                b = Bloom.from_bytes(bloom_bytes)
+                _BLOOM_CACHE = (id(bloom_bytes), b)
             return pd.Series(b.contains(urls))
 
         flagged = candidates.withColumn("__maybe", might_contain("url_canon"))
