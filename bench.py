@@ -116,7 +116,7 @@ def main_default():
     from mongodb_postproc_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    spark = get_spark("bench", bench=True)
     t0 = time.monotonic()
     queries = run_queries_bench(spark, sf_dir)
     crawl = run_crawl_bench(spark, BENCH_URLS)
@@ -147,7 +147,9 @@ def main_default():
 def main_crawl_run(cores: int, n_urls: int):
     from mongodb_postproc_spark.session import get_spark
 
-    spark = get_spark(f"bench-crawl-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    spark = get_spark(
+        f"bench-crawl-{cores}", cores=cores, shuffle_partitions=max(cores, 8), bench=True
+    )
     res = run_crawl_bench(spark, n_urls)
     res["cores"] = cores
     print(json.dumps(res))

@@ -10,9 +10,9 @@ byte-identical fetch order:
            ──(broadcast robots join: politeness slots)──► offset_ms
            ──(distributed global rank, ordering.py)──► seq
            ──(mapInPandas fetch: Arrow batches, no per-row Python)──► pages
-           ──(posexplode links → canonicalize → min-ts dedup)──► candidates
-           ──(Bloom prefilter + exact anti-join seen)──► new URLs
-           ──(robots split)──► frontier' / blocked
+           ──(posexplode links → canonicalize)──► candidates
+           ──(bucketed dedup + sliced-Bloom probe + exact anti-join)──► new URLs
+           ──(robots split)──► frontier appends / blocked
   all state committed per round through the snapshot catalog (tables.py);
   _state.json (written last, atomic) pins the consistent snapshot set for
   exact checkpoint/resume with per-partition lineage.
@@ -25,11 +25,27 @@ at ~n_salts×cap rows regardless of host skew. This is the explicit
 salting/repartitioning the north rule requires; AQE skew-join handles the
 residual joins.
 
-Bloom at 10^10: the merged-broadcast filter here is right up to ~10^8 seen
-URLs (1.2 MB per 10^6 at 1% fpp). Beyond that, partition the seen set by
-``pmod(h60(url), P)`` and have each query task load only its slice's bloom
-from the state table (same rows, same semantics — a loader change, not a
-design change); the exact anti-join confirmer is unchanged.
+Frontier maintenance is merge-on-read (Iceberg equality-delete semantics,
+tables.py): a round appends the newly-discovered URLs and a delete file of
+the scheduled keys — O(scheduled + new) write I/O instead of rewriting the
+whole 10^10-row frontier every round. Delete keys can never match rows
+appended later (a scheduled URL is in `seen`; only unseen URLs are ever
+appended), so the deletes apply globally: the scan-side cost is ONE
+anti-join against the accumulated delete files, and a compaction folds them
+back into the data when they exceed ~2x the live row count.
+
+Seen-set at 10^10: the Bloom state is hash-partitioned by
+``pmod(xxhash64(url_canon), n_buckets)``. Candidate link dedup and the
+Bloom probe run FUSED in one groupBy(bucket).applyInPandas stage (a URL's
+duplicates all hash to its bucket), and each task loads only its bucket's
+bloom slice straight from the state table's parquet (seen.py) — nothing is
+collected or broadcast through the driver. Bloom-positive rows are
+confirmed by the exact anti-join, so false positives never drop URLs.
+
+Per-round counters (fetched, links, new, blocked) ride on
+``DataFrame.observe`` attached to writes the round performs anyway — the
+job-submission floor is the round's serial fraction, and it is what caps
+scaling efficiency, so no dedicated count jobs run in the hot loop.
 """
 
 from __future__ import annotations
@@ -41,15 +57,21 @@ import time
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datagen.images import decode_image, make_image, make_images, psnr
 from ..datagen.web import CrawlConfig, SyntheticWeb
 from ..tables import TableCatalog
-from .canonicalize import canonical_url_col, canonicalize_py, host_col
+from .canonicalize import canonical_url_col, host_col
 from .ordering import assign_global_seq
-from .seen import Bloom, build_state_rows, merge_state
+from .seen import (
+    Bloom,
+    contains_any,
+    load_bucket_blooms,
+    make_bucket_state_builder,
+    merge_state,
+)
 
 FETCH_SCHEMA = (
     "seq long, url_canon string, host string, depth int, round int, "
@@ -58,6 +80,15 @@ FETCH_SCHEMA = (
 )
 
 FRONTIER_COLS = ["url_canon", "host", "priority", "discovery_ts", "depth"]
+
+PROBE_SCHEMA = (
+    "url_canon string, host string, priority int, discovery_ts long, "
+    "depth int, bucket int, maybe_seen boolean"
+)
+
+# tables this engine produces; _reconcile_to_state only ever drops these —
+# anything else in the workdir (legacy-format tables, user extras) survives
+ENGINE_TABLES = ("frontier", "seen", "blocked", "pages", "seen_state", "lineage", "metrics")
 
 N_SALTS = 8
 SALT_PREPASS_MAX_CAP = 10_000  # politeness caps are small; beyond this the cap
@@ -118,6 +149,25 @@ def _fetch_factory(cfg: CrawlConfig, rnd: int):
     return fetch
 
 
+def _make_dedup_probe(state_dirs: list[str]):
+    """Fused first-discovery dedup + sliced-Bloom probe for ONE bucket group
+    (groupBy(bucket).applyInPandas). All duplicates of a URL hash to the
+    same bucket, so within-group drop_duplicates IS the global dedup; the
+    bloom slice is loaded from the state table's parquet and cached per
+    python worker (seen.py module cache, content-keyed)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url_canon", "discovery_ts"]).drop_duplicates(
+            "url_canon", keep="first"
+        )
+        blooms = load_bucket_blooms(state_dirs, int(pdf["bucket"].iloc[0]))
+        out = pdf.copy()
+        out["maybe_seen"] = contains_any(blooms, out["url_canon"])
+        return out[FRONTIER_COLS + ["bucket", "maybe_seen"]]
+
+    return fn
+
+
 @dataclass
 class RoundStats:
     round: int
@@ -131,13 +181,19 @@ class RoundStats:
 class CrawlEngine:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, workdir: str,
                  use_bloom: bool = True, bloom_fpp: float = 0.01,
-                 expected_urls: int = 200_000):
+                 expected_urls: int = 200_000, bloom_mode: str = "partitioned",
+                 n_buckets: int = 64):
+        assert bloom_mode in ("partitioned", "broadcast")
         self.spark = spark
         self.cfg = cfg
         self.catalog = TableCatalog(workdir)
         self.workdir = workdir
         self.use_bloom = use_bloom
-        sizing = Bloom.sized_for(expected_urls, bloom_fpp)
+        self.bloom_mode = bloom_mode
+        self.n_buckets = n_buckets
+        per_bucket = max(64, expected_urls // n_buckets) if bloom_mode == "partitioned" \
+            else expected_urls
+        sizing = Bloom.sized_for(per_bucket, bloom_fpp)
         self.bloom_bits, self.bloom_hashes = sizing.n_bits, sizing.n_hashes
 
     # ---------------------------------------------------------------- state
@@ -160,12 +216,11 @@ class CrawlEngine:
     def _read(self, name: str, state: dict) -> DataFrame:
         return self.catalog.read(name, self.spark, snapshot=state["snapshots"].get(name))
 
-    def _upsert(self, name: str, df: DataFrame) -> None:
+    def _upsert(self, name: str, df: DataFrame, partition_by: str | None = None) -> int:
         """Append to an existing table, create it on the first round."""
         if self.catalog.exists(name):
-            self.catalog.append(name, df)
-        else:
-            self.catalog.create_or_replace(name, df)
+            return self.catalog.append(name, df, partition_by=partition_by)
+        return self.catalog.create_or_replace(name, df, partition_by=partition_by)
 
     # ---------------------------------------------------------------- robots
     def _robots_df(self) -> DataFrame:
@@ -191,22 +246,69 @@ class CrawlEngine:
         return allowed, blocked
 
     # ---------------------------------------------------------------- seen
-    def _load_bloom(self, state: dict | None) -> Bloom | None:
-        if not self.use_bloom or state is None or "seen_state" not in state["snapshots"]:
-            return None
-        rows = self._read("seen_state", state).collect()
-        return merge_state([r.asDict() for r in rows])
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64("url_canon"), F.lit(self.n_buckets)).cast("int")
 
-    def _filter_unseen(self, candidates: DataFrame, seen: DataFrame | None,
-                       bloom: Bloom | None) -> DataFrame:
-        """Exact-unseen subset of candidates. Bloom prunes the anti-join:
-        bloom-negative rows are definitely new (no shuffle); bloom-positive
-        rows are confirmed by the exact anti-join (no false drops)."""
-        if seen is None:
-            return candidates
+    def _load_bloom_broadcast(self, state: dict | None) -> Bloom | None:
+        """Legacy/small-scale loader: OR every state row into one driver-side
+        filter (right up to ~10^8 seen URLs; the partitioned probe is the
+        10^10 path). Reads the tiny state rows with pyarrow — no Spark job."""
+        if state is None or "seen_state" not in state["snapshots"]:
+            return None
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        for d in self.catalog.member_dirs("seen_state", state["snapshots"]["seen_state"]):
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        t = pq.read_table(os.path.join(root, fn), columns=["bloom_bytes"])
+                        rows.extend({"bloom_bytes": v.as_py()} for v in t.column("bloom_bytes"))
+        return merge_state(rows)
+
+    def _dedup_filter_unseen(self, candidates: DataFrame, seen: DataFrame,
+                             state: dict) -> DataFrame:
+        """First-discovery dedup of raw link candidates + exact-unseen subset.
+
+        Bloom prunes the anti-join: bloom-negative rows are definitely new
+        (no shuffle into the join); bloom-positive rows are confirmed by the
+        exact anti-join (no false drops). ``partitioned`` mode fuses the
+        dedup with the probe in one bucket-grouped python stage and loads
+        bloom slices executor-side; ``broadcast`` keeps the merged-filter
+        pandas UDF for small deployments and legacy state."""
+        if self.use_bloom and self.bloom_mode == "partitioned":
+            state_dirs = (
+                self.catalog.member_dirs("seen_state", state["snapshots"]["seen_state"])
+                if "seen_state" in state["snapshots"] else []
+            )
+            probed = (
+                candidates.withColumn("bucket", self._bucket_col())
+                .groupBy("bucket")
+                .applyInPandas(_make_dedup_probe(state_dirs), PROBE_SCHEMA)
+                .localCheckpoint(eager=False)
+            )
+            definite_new = probed.filter(~F.col("maybe_seen")).select(*FRONTIER_COLS)
+            confirmed_new = (
+                probed.filter(F.col("maybe_seen"))
+                .select(*FRONTIER_COLS)
+                .join(seen, "url_canon", "left_anti")
+            )
+            return definite_new.unionByName(confirmed_new)
+
+        # window dedup (shuffle by url_canon), then optional broadcast probe
+        w_dedup = Window.partitionBy("url_canon").orderBy("discovery_ts")
+        deduped = (
+            candidates.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .select(*FRONTIER_COLS)
+        )
+        bloom = self._load_bloom_broadcast(state) if self.use_bloom else None
         if bloom is None:
-            return candidates.join(seen, "url_canon", "left_anti")
+            return deduped.join(seen, "url_canon", "left_anti")
         bloom_bytes = bloom.to_bytes()
+        # content-stable cache token: the state epoch pins exactly which
+        # blooms were merged (never id() — reused addresses would alias)
+        cache_token = f"{self.workdir}:r{state['round_completed']}"
 
         @F.pandas_udf("boolean")
         def might_contain(urls: pd.Series) -> pd.Series:
@@ -218,12 +320,12 @@ class CrawlEngine:
                 cached_key, b = _BLOOM_CACHE
             except NameError:
                 cached_key, b = None, None
-            if cached_key != id(bloom_bytes) or b is None:
+            if cached_key != cache_token or b is None:
                 b = Bloom.from_bytes(bloom_bytes)
-                _BLOOM_CACHE = (id(bloom_bytes), b)
+                _BLOOM_CACHE = (cache_token, b)
             return pd.Series(b.contains(urls))
 
-        flagged = candidates.withColumn("__maybe", might_contain("url_canon"))
+        flagged = deduped.withColumn("__maybe", might_contain("url_canon"))
         flagged = flagged.localCheckpoint(eager=False)
         definite_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
         confirmed_new = (
@@ -235,6 +337,20 @@ class CrawlEngine:
         if not self.use_bloom:
             return
         nb, nh = self.bloom_bits, self.bloom_hashes
+        if self.bloom_mode == "partitioned":
+            rows = (
+                new_urls.select("url_canon")
+                .withColumn("bucket", self._bucket_col())
+                .groupBy("bucket")
+                .applyInPandas(
+                    make_bucket_state_builder(epoch, nb, nh),
+                    "bucket int, epoch int, bloom_bytes binary, n_items long",
+                )
+            )
+            self._upsert("seen_state", rows, partition_by="bucket")
+            return
+        from .seen import build_state_rows
+
         rows = (
             new_urls.select("url_canon")
             .repartition(max(2, new_urls.sparkSession.sparkContext.defaultParallelism // 4))
@@ -244,10 +360,7 @@ class CrawlEngine:
                 "partition_id int, epoch int, bloom_bytes binary, n_items long",
             )
         )
-        if self.catalog.exists("seen_state"):
-            self.catalog.append("seen_state", rows)
-        else:
-            self.catalog.create_or_replace("seen_state", rows)
+        self._upsert("seen_state", rows)
 
     # ---------------------------------------------------------------- init
     def init_crawl(self) -> None:
@@ -285,17 +398,22 @@ class CrawlEngine:
         allowed, blocked = self._split_robots(seeds.select(*FRONTIER_COLS), self._robots_df())
 
         tm.mark("seed_gen")
+        obs_seen = Observation("init_seen")
+        obs_blocked = Observation("init_blocked")
         self.catalog.create_or_replace("frontier", allowed.select(*FRONTIER_COLS))
-        self.catalog.create_or_replace("seen", seeds.select("url_canon"))
-        self.catalog.create_or_replace("blocked", blocked.select("url_canon"))
+        self.catalog.create_or_replace(
+            "seen",
+            seeds.observe(obs_seen, F.count(F.lit(1)).alias("n")).select("url_canon"),
+        )
+        self.catalog.create_or_replace(
+            "blocked",
+            blocked.observe(obs_blocked, F.count(F.lit(1)).alias("n")).select("url_canon"),
+        )
         tm.mark("seed_writes")
         self._append_seen_state(seeds.select("url_canon"), epoch=-1)
         tm.mark("seed_state")
-        counts = seeds.agg(
-            F.count("*").alias("n_seen"),
-        ).collect()[0]
-        n_seen = counts["n_seen"]
-        n_blocked = blocked.count()
+        n_seen = obs_seen.get["n"]
+        n_blocked = obs_blocked.get["n"]
         state = {
             "round_completed": -1,
             "next_seq": 0,
@@ -304,6 +422,7 @@ class CrawlEngine:
             # round's serial fraction — it caps scaling efficiency)
             "frontier_count": n_seen - n_blocked,
             "seen_count": n_seen,
+            "frontier_deletes": 0,
             "snapshots": {
                 t: self.catalog.snapshots(t)[-1]["id"]
                 for t in ("frontier", "seen", "blocked", "seen_state")
@@ -363,7 +482,7 @@ class CrawlEngine:
         sched = assign_global_seq(
             sched, ["offset_ms", "host", "url_canon"], out_col="seq", start=state["next_seq"]
         )
-        # reused by the fetch input AND the frontier anti-join — plan once
+        # reused by the fetch input AND the frontier delete file — plan once
         sched = sched.localCheckpoint(eager=False)
         if _TIMING:
             sched.count()
@@ -372,17 +491,29 @@ class CrawlEngine:
         # -- fetch (Arrow-vectorized; order is carried by seq, not wall
         #    clock). The parquet write IS the materialization: fetch runs
         #    exactly once, and every downstream consumer (link extraction,
-        #    counts, lineage, the fetch_log/images projections) reads back
-        #    only the columns it needs — parquet column pruning means the
-        #    image bytes are written once and never re-serialized.
-        fetched = sched.select("seq", "url_canon", "host", "depth").mapInPandas(
-            _fetch_factory(self.cfg, rnd), FETCH_SCHEMA
+        #    lineage, the fetch_log/images projections) reads back only the
+        #    columns it needs from THIS round's snapshot dir — parquet
+        #    column pruning means the image bytes are written once and
+        #    never re-serialized, and the file listing stays O(round), not
+        #    O(all rounds). Round totals ride on observe — no count job.
+        obs_pages = Observation(f"r{rnd}_pages")
+        fetched = (
+            sched.select("seq", "url_canon", "host", "depth")
+            .mapInPandas(_fetch_factory(self.cfg, rnd), FETCH_SCHEMA)
+            .observe(
+                obs_pages,
+                F.count(F.lit(1)).alias("n_fetched"),
+                F.sum(F.size("links")).alias("n_links"),
+            )
         )
-        self._upsert("pages", fetched)
-        results = self.catalog.read("pages", self.spark).filter(F.col("round") == rnd)
+        pages_snap = self._upsert("pages", fetched)
+        pm = obs_pages.get
+        n_fetched = int(pm["n_fetched"])
+        links_extracted = int(pm["n_links"] or 0)
+        results = self.catalog.read_snapshot_dir("pages", self.spark, pages_snap)
         tm.mark("schedule+fetch+write_pages")
 
-        # -- extract + canonicalize + in-batch dedup (first discovery wins)
+        # -- extract + canonicalize (dedup happens fused with the seen probe)
         children = (
             results.select("seq", "depth", F.posexplode("links").alias("link_index", "raw_url"))
             .withColumn("url_canon", canonical_url_col(F.col("raw_url")))
@@ -395,57 +526,41 @@ class CrawlEngine:
             .withColumn("priority", F.col("depth"))
             .withColumn("host", host_col(F.col("url_canon")))
         )
-        w_dedup = Window.partitionBy("url_canon").orderBy("discovery_ts")
-        children = (
-            children.withColumn("__rn", F.row_number().over(w_dedup))
-            .filter(F.col("__rn") == 1)
-            .select(*FRONTIER_COLS)
-        )
-        if _TIMING:
-            children.count()
-            tm.mark("extract_children_only")
 
-        # -- seen-set check (Bloom prefilter + exact anti-join confirmer)
-        bloom = self._load_bloom(state)
-        tm.mark("bloom_load")
-        new_urls = self._filter_unseen(children, seen, bloom).localCheckpoint(eager=True)
+        # -- first-discovery dedup + seen-set check (bucketed Bloom probe +
+        #    exact anti-join confirmer), one materialization for all sinks
+        new_urls = self._dedup_filter_unseen(children, seen, state).localCheckpoint(eager=True)
         tm.mark("extract+dedup+unseen")
         allowed_new, blocked_new = self._split_robots(new_urls, robots)
 
         # -- commit next state through the catalog (order-safe: _state.json
-        #    last, so a crash mid-commit resumes from the previous round)
-        frontier_next = frontier.join(
-            sched.select("url_canon"), "url_canon", "left_anti"
-        ).unionByName(allowed_new.select(*FRONTIER_COLS))
-        crow = results.agg(
-            F.count("*").alias("n_fetched"), F.sum(F.size("links")).alias("n_links")
-        ).collect()[0]
-        n_fetched = crow["n_fetched"]
-        links_extracted = crow["n_links"] or 0
-        n_new = new_urls.count()
-        tm.mark("counts")
-
-        self.catalog.create_or_replace("frontier", frontier_next)
-        tm.mark("write_frontier")
-        self.catalog.append("seen", new_urls.select("url_canon"))
-        n_blocked_new = blocked_new.count()  # parent is checkpointed: cheap
-        if n_blocked_new:
-            self.catalog.append("blocked", blocked_new.select("url_canon"))
+        #    last, so a crash mid-commit resumes from the previous round).
+        #    Row counters ride on the writes via observe.
+        obs_seen = Observation(f"r{rnd}_seen")
+        obs_blocked = Observation(f"r{rnd}_blocked")
+        self.catalog.append(
+            "seen",
+            new_urls.observe(obs_seen, F.count(F.lit(1)).alias("n")).select("url_canon"),
+        )
+        n_new = int(obs_seen.get["n"])
+        self.catalog.append(
+            "blocked",
+            blocked_new.observe(obs_blocked, F.count(F.lit(1)).alias("n")).select("url_canon"),
+        )
+        n_blocked_new = int(obs_blocked.get["n"])
         tm.mark("write_seen+blocked")
+
+        # -- frontier merge-on-read: scheduled keys leave via a delete file,
+        #    discoveries enter via an append — O(delta) write I/O per round
+        #    (see module docstring for why global delete scope is sound here)
+        self.catalog.append_deletes(
+            "frontier", sched.select("url_canon"), "url_canon", scope="global"
+        )
+        self.catalog.append("frontier", allowed_new.select(*FRONTIER_COLS))
+        tm.mark("write_frontier_delta")
         self._append_seen_state(new_urls.select("url_canon"), epoch=rnd)
         tm.mark("write_seen_state")
 
-        # per-partition lineage (north rule: partition_id, bloom epoch,
-        # last url hash, rows fetched)
-        lineage = results.groupBy("pid").agg(
-            F.count("*").alias("rows_fetched"),
-            F.max(F.xxhash64("url_canon")).alias("last_url_hash"),
-        ).withColumn("round", F.lit(rnd)).withColumn("bloom_epoch", F.lit(rnd)).select(
-            F.col("pid").alias("partition_id"), "bloom_epoch", "last_url_hash", "rows_fetched", "round"
-        )
-        self._upsert("lineage", lineage)
-
-        tm.mark("write_lineage")
         # derived from the running counters (scheduled URLs leave the
         # frontier, allowed-new enter; every new URL enters seen) — replaces
         # two full-table count jobs per round
@@ -457,30 +572,77 @@ class CrawlEngine:
         else:
             frontier_after = prev_frontier - n_fetched + (n_new - n_blocked_new)
             seen_after = prev_seen + n_new
-        tm.mark("post_counts")
-        stats = RoundStats(rnd, n_fetched, int(links_extracted), n_new, frontier_after, seen_after)
-        metrics_pdf = pd.DataFrame(
+
+        # compaction policy: fold delete files into the data when they
+        # exceed ~2x the live frontier (Iceberg maintenance, amortized)
+        frontier_deletes = state.get("frontier_deletes", 0) + n_fetched
+        if frontier_deletes > max(2 * frontier_after, 100_000):
+            self.catalog.compact("frontier", self.spark)
+            frontier_deletes = 0
+            tm.mark("compact_frontier")
+
+        # per-partition lineage (north rule: partition_id, bloom epoch,
+        # last url hash, rows fetched). The groupBy(pid) result is a
+        # handful of rows: collect it and commit driver-side — a full
+        # Spark write would cost a second job for ~32 rows.
+        lin = (
+            results.groupBy("pid")
+            .agg(
+                F.count("*").alias("rows_fetched"),
+                F.max_by(F.xxhash64("url_canon"), F.col("seq")).alias("last_url_hash"),
+            )
+            .collect()
+        )
+        import pyarrow as pa
+
+        lineage_schema = pa.schema(
+            [
+                ("partition_id", pa.int32()),
+                ("bloom_epoch", pa.int32()),
+                ("last_url_hash", pa.int64()),
+                ("rows_fetched", pa.int64()),
+                ("round", pa.int32()),
+            ]
+        )
+        self.catalog.write_rows(
+            "lineage",
+            [
+                {
+                    "partition_id": r["pid"],
+                    "bloom_epoch": rnd,
+                    "last_url_hash": r["last_url_hash"],
+                    "rows_fetched": r["rows_fetched"],
+                    "round": rnd,
+                }
+                for r in lin
+            ],
+            lineage_schema,
+        )
+        tm.mark("write_lineage")
+
+        stats = RoundStats(rnd, n_fetched, links_extracted, n_new, frontier_after, seen_after)
+        metrics_schema = pa.schema(
+            [("round", pa.int32()), ("metric", pa.string()), ("value", pa.float64())]
+        )
+        self.catalog.write_rows(
+            "metrics",
             [
                 {"round": rnd, "metric": k, "value": float(v)}
                 for k, v in vars(stats).items()
                 if k != "round"
-            ]
+            ],
+            metrics_schema,
         )
-        metrics_df = self.spark.createDataFrame(metrics_pdf, "round int, metric string, value double")
-        metrics_df = metrics_df.withColumn("round", F.lit(rnd))
-        self._upsert("metrics", metrics_df)
 
         new_state = {
             "round_completed": rnd,
             "next_seq": state["next_seq"] + n_fetched,
             "frontier_count": frontier_after,
             "seen_count": seen_after,
+            "frontier_deletes": frontier_deletes,
             "snapshots": {
                 t: self.catalog.snapshots(t)[-1]["id"]
-                for t in (
-                    "frontier", "seen", "blocked", "pages",
-                    "seen_state", "lineage", "metrics",
-                )
+                for t in ENGINE_TABLES
                 if self.catalog.exists(t)
             },
         }
@@ -488,14 +650,16 @@ class CrawlEngine:
         return new_state, stats
 
     def _reconcile_to_state(self, state: dict) -> None:
-        """Roll every table back to the snapshot the committed state
+        """Roll every engine table back to the snapshot the committed state
         references, dropping data written by a crashed round (the state file
-        is the commit point; anything past it never happened)."""
+        is the commit point; anything past it never happened). Tables this
+        engine does not produce — legacy-format tables, user extras — are
+        left untouched."""
         referenced = state["snapshots"]
         for name in self.catalog.tables():
             if name in referenced:
                 self.catalog.rollback_to(name, referenced[name])
-            else:
+            elif name in ENGINE_TABLES:
                 self.catalog.drop(name)
 
     # ---------------------------------------------------------------- run
@@ -519,20 +683,29 @@ class CrawlEngine:
     # fetch_log and images are PROJECTIONS of the single `pages` landing
     # table — parquet column pruning makes each read touch only its columns
     # (the bytes column is written once at fetch time, never re-serialized).
+    # Workdirs written by the pre-`pages` format kept standalone fetch_log /
+    # images tables; if present they are unioned in so history survives.
     def fetch_log(self) -> DataFrame:
-        return (
+        df = (
             self.catalog.read("pages", self.spark)
             .select("seq", "url_canon", "host", "round")
-            .orderBy("seq")
         )
+        if self.catalog.exists("fetch_log"):
+            legacy = self.catalog.read("fetch_log", self.spark).select(
+                "seq", "url_canon", "host", "round"
+            )
+            df = legacy.unionByName(df)
+        return df.orderBy("seq")
 
     def seen_set(self) -> DataFrame:
         return self.catalog.read("seen", self.spark)
 
     def images(self) -> DataFrame:
-        return self.catalog.read("pages", self.spark).select(
-            "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url_canon", "seq"
-        )
+        cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url_canon", "seq"]
+        df = self.catalog.read("pages", self.spark).select(*cols)
+        if self.catalog.exists("images"):
+            df = self.catalog.read("images", self.spark).select(*cols).unionByName(df)
+        return df
 
 
 def validate_images(images: DataFrame) -> DataFrame:

@@ -9,10 +9,17 @@ kept EXACT (the fixtures demand the exact set, SURVEY.md §7 "What's hard"):
                                 table confirms (Bloom false positives would
                                 otherwise DROP real URLs).
 
-State layout (FIXTURES.md `seen_state`): one row per build partition —
-(partition_id, epoch, bloom_bytes, n_items) — persisted through the table
-catalog, merged by bitwise OR into a broadcast filter for querying. Epochs
-are crawl rounds; a resume reloads every epoch's rows and ORs them.
+State layout (FIXTURES.md `seen_state`): the seen set is hash-partitioned
+into ``bucket = pmod(xxhash64(url_canon), n_buckets)`` slices; one row per
+(bucket, epoch) — (bucket, epoch, bloom_bytes, n_items) — persisted through
+the table catalog partitioned by bucket on disk. Epochs are crawl rounds.
+
+Querying at 10^10 never materializes the merged filter on the driver:
+candidates are grouped by the same bucket expression and each task loads
+ONLY its bucket's bloom rows straight from the state table's parquet
+(``load_bucket_blooms``), cached per python worker process. At 10^10 seen
+URLs / 1% fpp the full filter is ~12 GB — per-bucket slices keep any one
+task's working set at filter_size/n_buckets.
 
 The filter itself is pure numpy (no JVM dependency): double hashing
 h_i = (h1 + i*h2) mod m over two independent 60-bit md5-derived hashes
@@ -22,6 +29,7 @@ h_i = (h1 + i*h2) mod m over two independent 60-bit md5-derived hashes
 from __future__ import annotations
 
 import math
+import os
 import zlib
 
 import numpy as np
@@ -80,7 +88,8 @@ class Bloom:
 
 def build_state_rows(urls_pdf_iter, epoch: int, n_bits: int, n_hashes: int):
     """applyInPandas-shaped builder: one partition of new-seen URLs ->
-    one (partition_id, epoch, bloom_bytes, n_items) state row."""
+    one (partition_id, epoch, bloom_bytes, n_items) state row. Legacy
+    (unbucketed, broadcast-merged) layout — kept for migration reads."""
     for pdf in urls_pdf_iter:
         b = Bloom(n_bits, n_hashes)
         b.add(pdf["url_canon"])
@@ -95,6 +104,27 @@ def build_state_rows(urls_pdf_iter, epoch: int, n_bits: int, n_hashes: int):
         )
 
 
+def make_bucket_state_builder(epoch: int, n_bits: int, n_hashes: int):
+    """groupBy(bucket).applyInPandas builder: one bucket's new-seen URLs ->
+    one (bucket, epoch, bloom_bytes, n_items) state row. Every URL of a
+    bucket lands in that bucket's bloom, so a bucket absent from the state
+    table provably contains no seen URLs."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = Bloom(n_bits, n_hashes)
+        b.add(pdf["url_canon"])
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "epoch": [epoch],
+                "bloom_bytes": [b.to_bytes()],
+                "n_items": [len(pdf)],
+            }
+        )
+
+    return build
+
+
 def merge_state(rows: list[dict]) -> Bloom | None:
     """OR all persisted per-partition blooms into one queryable filter."""
     merged: Bloom | None = None
@@ -102,3 +132,76 @@ def merge_state(rows: list[dict]) -> Bloom | None:
         b = Bloom.from_bytes(r["bloom_bytes"])
         merged = b if merged is None else merged.merge(b)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Executor-side sliced loading. Module-level cache: python workers are
+# reused across tasks (spark.python.worker.reuse), and module state — unlike
+# function globals, which cloudpickle rebuilds per task — survives with the
+# worker process. Keys are content-stable (file path + mtime), never id().
+# ---------------------------------------------------------------------------
+
+_FILE_BLOOM_CACHE: dict = {}
+
+
+def _bloom_rows_from_file(path: str) -> list[Bloom]:
+    key = (path, os.path.getmtime(path))
+    if key not in _FILE_BLOOM_CACHE:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(path, columns=["bloom_bytes"]).column("bloom_bytes")
+        _FILE_BLOOM_CACHE[key] = [Bloom.from_bytes(v.as_py()) for v in col]
+    return _FILE_BLOOM_CACHE[key]
+
+
+def _parquet_files(d: str) -> list[str]:
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+_MERGED_CACHE: dict = {}
+
+
+def load_bucket_blooms(member_dirs: list[str], bucket: int) -> list[Bloom]:
+    """Load the bloom rows for ONE bucket slice from the seen_state table's
+    data dirs (``snap=k/__pdir=<bucket>/``). Legacy unbucketed snapshots
+    (flat files under ``snap=k/``) cover all buckets, so their blooms are
+    included for every bucket — a superset 'maybe', confirmed exact by the
+    anti-join as always.
+
+    Same-shaped blooms (one per epoch) are pre-OR-merged and the merge is
+    cached per worker, so a probe computes each URL's hash positions once
+    per distinct bloom geometry, not once per epoch. Probe the returned
+    list with ``contains_any``."""
+    files: list[str] = []
+    for d in member_dirs:
+        files.extend(_parquet_files(os.path.join(d, f"__pdir={bucket}")))
+        files.extend(_parquet_files(d))  # legacy flat layout
+    key = (bucket, tuple((f, os.path.getmtime(f)) for f in files))
+    if key in _MERGED_CACHE:
+        return _MERGED_CACHE[key]
+    by_shape: dict[tuple[int, int], Bloom] = {}
+    for f in files:
+        for b in _bloom_rows_from_file(f):
+            shape = (b.n_bits, b.n_hashes)
+            by_shape[shape] = b if shape not in by_shape else by_shape[shape].merge(b)
+    merged = list(by_shape.values())
+    if len(_MERGED_CACHE) > 1024:  # bound worker memory across long runs
+        _MERGED_CACHE.clear()
+        _FILE_BLOOM_CACHE.clear()
+    _MERGED_CACHE[key] = merged
+    return merged
+
+
+def contains_any(blooms: list[Bloom], urls: pd.Series) -> np.ndarray:
+    if not blooms:
+        return np.zeros(len(urls), dtype=bool)
+    out = blooms[0].contains(urls)
+    for b in blooms[1:]:
+        if out.all():
+            break
+        out |= b.contains(urls)
+    return out

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import load, register
-from .similarity import _DUCK_COS, _SPARK_COS, _emb_view
+from .similarity import _emb_view
 
 # --------------------------------------------------------------------------
 # Predicates / filters
@@ -305,7 +305,7 @@ def f5_quoted_extract(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT event_id, k, '{"k":' || k || '}' AS rebuilt
     FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
-    WHERE event_id < 1000 ORDER BY event_id
+    WHERE event_id < 1000 AND k IS NOT NULL ORDER BY event_id
     """,
     "F16 JSON encode/decode of map columns (reference json.dumps/json.loads, "
     "analysePauling.py:168 + CN_barchart.py:30) — get_json_object decode, "
@@ -316,6 +316,10 @@ def f16_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "events")
         .filter(F.col("event_id") < 1000)
         .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        # explicit null contract: Spark's to_json drops null fields ('{}')
+        # while DuckDB's || concat yields NULL — exclude nulls on BOTH sides
+        # so the oracle equality doesn't depend on the datagen
+        .filter(F.col("k").isNotNull())
         .select("event_id", "k", F.to_json(F.struct(F.col("k"))).alias("rebuilt"))
         .orderBy("event_id")
     )
@@ -328,24 +332,37 @@ def f16_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(({_DUCK_COS}), 4) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(({_DUCK_COS}), 4) >= 0.30
+    """
+    WITH n AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) p
+    WHERE cosine >= 0.30
     """,
     "Embedding-cosine near-duplicate join: block by coarse label (at scale: "
     "LSH bucket / IVF cell), exact cosine only within blocks — candidates "
     "scale with block size, never n² (completes the dedup family: exact, "
-    "minhash-LSH, simhash, ngram-jaccard, embedding-cosine)",
+    "minhash-LSH, simhash, ngram-jaccard, embedding-cosine). Norms are "
+    "precomputed once per row BEFORE the pair join, so each pair costs one "
+    "zip_with/dot fold instead of three — same IEEE expression tree "
+    "(dot / (sqrt(a)·sqrt(b))) as the naive form, so values are bit-identical",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
     return spark.sql(f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(({_SPARK_COS}), 4) AS cosine
-        FROM {v} a JOIN {v} b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(({_SPARK_COS}), 4) >= 0.30
+        WITH n AS (
+          SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS e,
+                 sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0.0D,
+                                (acc, x) -> acc + x * x)) AS nrm
+          FROM {v})
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D,
+                                 (acc, x) -> acc + x) / (a.nrm * b.nrm), 4) AS cosine
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) p
+        WHERE cosine >= 0.30
     """)

@@ -507,11 +507,11 @@ def a9_hoppe(spark: SparkSession, sf: str):
     "a11_conditional_counters",
     """
     SELECT count(*) AS total,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
-           sum(CASE WHEN o_orderpriority = '1-URGENT'
-                     AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_urgent_f
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                     AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent_f
     FROM orders
     """,
     "A11 conditional counters — one pass replaces the whole counting loop "

@@ -51,7 +51,7 @@ def f4_extract_all(spark: SparkSession, sf: str) -> DataFrame:
     "f6_try_cast_json",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -112,7 +112,7 @@ def f9_slice(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, unnest(regexp_split_to_array(text, ' the ')) AS segment
       FROM documents WHERE doc_id < 10)
     SELECT doc_id, count(*) AS n_segments,
-           sum(CASE WHEN segment LIKE 'value%' THEN 1 ELSE 0 END) AS n_value_led
+           CAST(sum(CASE WHEN segment LIKE 'value%' THEN 1 ELSE 0 END) AS BIGINT) AS n_value_led
     FROM lines GROUP BY doc_id
     """,
     "F11 startswith/contains + F12 splitlines-and-explode "

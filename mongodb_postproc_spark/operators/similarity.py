@@ -78,7 +78,8 @@ def sim_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     "sim_threshold_neighbors",
     f"""
     SELECT a.vec_id AS query_id,
-           sum(CASE WHEN round(({_DUCK_COS}), 4) >= 0.15 THEN 1 ELSE 0 END) AS n_neighbors
+           CAST(sum(CASE WHEN round(({_DUCK_COS}), 4) >= 0.15
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_neighbors
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     WHERE a.vec_id < 16
     GROUP BY a.vec_id

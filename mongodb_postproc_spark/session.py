@@ -26,11 +26,15 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    bench: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
     ``cores=None`` -> local[*]. Pass an int to pin parallelism (the bench
-    scaling runs use 8 vs 32).
+    scaling runs use 8 vs 32). ``bench=True`` selects the large pre-touched
+    heap (see below); tests/dev sessions keep a small lazily-grown heap so a
+    unit test neither needs 16 GB free nor pays the multi-second pre-touch.
+    Override either way with SPARK_GRAFT_PREALLOC=0/1 + SPARK_GRAFT_DRIVER_MEM.
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -41,6 +45,16 @@ def get_spark(
         ncores = cores
     if shuffle_partitions is None:
         shuffle_partitions = max(ncores, 8)
+
+    # Fixed, pre-touched heap for BENCH sessions: incremental heap growth on
+    # this kernel page-faults through THP compaction — a cold 4.7M-row
+    # shuffle measured 64s at 25% system time vs 18s at 1% with
+    # -Xms=-Xmx + AlwaysPreTouch (one-time ~3s at session start). Gated off
+    # for tests/dev so small sessions don't commit 16 GB up front.
+    prealloc_env = os.environ.get("SPARK_GRAFT_PREALLOC")
+    prealloc = bench if prealloc_env is None else prealloc_env == "1"
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g" if prealloc else "4g")
+    java_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch" if prealloc else ""
 
     builder = (
         SparkSession.builder.master(master)
@@ -53,15 +67,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # Fixed, pre-touched heap: incremental heap growth on this kernel
-        # page-faults through THP compaction in the kernel — a cold 4.7M-row
-        # shuffle measured 64s at 25% system time vs 18s at 1% with
-        # -Xms=-Xmx + AlwaysPreTouch (one-time ~3s at session start).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} -XX:+AlwaysPreTouch",
-        )
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -38,7 +38,10 @@ def _first_seen_fn(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Emit the earliest-discovered row for an unseen url_canon key; drop
-    everything else. Deterministic: ties broken by (discovery_ts, host)."""
+    everything else. Deterministic: within a chunk ties break by
+    (discovery_ts, host); across chunks the comparison is on discovery_ts
+    alone — host is constant per key (it is derived from url_canon, the
+    group key), so no cross-chunk host tie-break is ever needed."""
     if state.exists:
         for _ in pdfs:
             pass

@@ -35,18 +35,61 @@ def test_bloom_serde_and_merge():
 
 def test_engine_bloom_vs_exact_identical(spark, tmp_path):
     """Bloom is a pure prefilter: crawl output with and without it must be
-    byte-identical (false positives confirmed by the exact anti-join)."""
+    byte-identical (false positives confirmed by the exact anti-join) — in
+    BOTH loader modes (partitioned executor-side slices and the legacy
+    broadcast merge)."""
     cfg = CrawlConfig(
         n_seeds=5, max_rounds=2, per_host_cap=3,
         web=WebConfig(n_hosts=5, hot_pages=40, cold_pages=10, seed="bloom-v1"),
     )
     outs = {}
-    for use_bloom in (True, False):
-        wd = str(tmp_path / f"bloom_{use_bloom}")
-        eng = CrawlEngine(spark, cfg, wd, use_bloom=use_bloom)
+    variants = {
+        "partitioned": dict(use_bloom=True, bloom_mode="partitioned", n_buckets=4),
+        "broadcast": dict(use_bloom=True, bloom_mode="broadcast"),
+        "exact": dict(use_bloom=False),
+    }
+    for tag, kw in variants.items():
+        wd = str(tmp_path / f"bloom_{tag}")
+        eng = CrawlEngine(spark, cfg, wd, **kw)
         eng.run()
-        outs[use_bloom] = (
+        outs[tag] = (
             [(r["seq"], r["url_canon"]) for r in eng.fetch_log().collect()],
             {r["url_canon"] for r in eng.seen_set().collect()},
         )
-    assert outs[True] == outs[False]
+    assert outs["partitioned"] == outs["exact"]
+    assert outs["broadcast"] == outs["exact"]
+
+
+def test_partitioned_state_is_bucket_sliced(spark, tmp_path):
+    """The partitioned seen-state lands one bloom row per (bucket, epoch) in
+    a per-bucket dir, and the sliced loader reads only that slice — no
+    driver-side merge of the full filter anywhere in the query path."""
+    import os
+
+    from mongodb_postproc_spark.crawl.seen import contains_any, load_bucket_blooms
+
+    cfg = CrawlConfig(
+        n_seeds=8, max_rounds=2, per_host_cap=3,
+        web=WebConfig(n_hosts=5, hot_pages=40, cold_pages=10, seed="bloom-v2"),
+    )
+    wd = str(tmp_path / "part_state")
+    eng = CrawlEngine(spark, cfg, wd, bloom_mode="partitioned", n_buckets=4)
+    eng.run()
+    dirs = eng.catalog.member_dirs("seen_state")
+    assert any(
+        os.path.isdir(os.path.join(d, f"__pdir={b}")) for d in dirs for b in range(4)
+    )
+    seen_urls = [r["url_canon"] for r in eng.seen_set().collect()]
+    # every seen URL must be bloom-positive in its own bucket slice
+    buckets = {
+        r["url_canon"]: r["b"]
+        for r in spark.createDataFrame(pd.DataFrame({"url_canon": seen_urls}))
+        .selectExpr("url_canon", "cast(pmod(xxhash64(url_canon), 4) as int) as b")
+        .collect()
+    }
+    for b in range(4):
+        urls = pd.Series([u for u, bb in buckets.items() if bb == b])
+        if not len(urls):
+            continue
+        blooms = load_bucket_blooms(dirs, b)
+        assert contains_any(blooms, urls).all()
