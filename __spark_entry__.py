@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mongodb_postproc_spark.operators import (  # noqa: E402,F401
     inventory_ext,
     multimodal,
+    records,
     relational,
     scalar,
     similarity,

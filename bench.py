@@ -166,18 +166,23 @@ def main_scaling():
     cores_pair = [
         int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
     ]
-    results = {}
-    for cores in cores_pair:
-        out = subprocess.run(
-            [sys.executable, os.path.join(here, "bench.py"), "--crawl-run", str(cores),
-             str(SCALING_URLS)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[f"local[{cores}]"] = json.loads(line)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    results: dict[str, list] = {}
+    for rep in range(repeats):
+        for cores in cores_pair:
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "bench.py"), "--crawl-run", str(cores),
+                 str(SCALING_URLS)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            results.setdefault(f"local[{cores}]", []).append(json.loads(line))
+            print(f"[scaling] rep {rep} local[{cores}]: {line}", file=sys.stderr, flush=True)
     factor = cores_pair[1] / cores_pair[0]
-    thr_n = results[f"local[{cores_pair[0]}]"]["urls_per_sec"]
-    thr_4n = results[f"local[{cores_pair[1]}]"]["urls_per_sec"]
+    # best-of-N per leg: identical deterministic input; wall-clock noise on
+    # this shared VM is one-sided (steal/interference only ever slows a run)
+    thr_n = max(r["urls_per_sec"] for r in results[f"local[{cores_pair[0]}]"])
+    thr_4n = max(r["urls_per_sec"] for r in results[f"local[{cores_pair[1]}]"])
     eff = round(thr_4n / (factor * thr_n), 3)
     summary = {
         "n_urls": SCALING_URLS,

@@ -710,26 +710,27 @@ class CrawlEngine:
 
 def validate_images(images: DataFrame) -> DataFrame:
     """Per-row invariants vs the reference payload (BASELINE.json input_hint):
-    decoded-pixel allclose / PSNR>=40dB for lossy, caption string equality,
-    phash equality. Vectorized pandas UDF — the tolerance-equality pattern of
+    decoded pixels equal the pre-codec reference array exactly for lossless
+    rows, PSNR>=40dB for lossy (jpeg) rows — non-vacuous: the stored bytes
+    went through real quantization, so decode != raw — plus caption string
+    equality and phash equality. Arrow-batched; the reference records are
+    regenerated per batch (one vectorized make_images call), only the codec
+    inflate runs per row. The tolerance-equality pattern of
     /root/reference/compositionMatcher.py:60 applied to pixels.
     Returns rows that VIOLATE an invariant (empty DataFrame == all good)."""
 
     def check(batches):
         for pdf in batches:
+            refs = make_images(list(pdf["url_canon"]), return_raw=True)
             bad = []
-            for _, row in pdf.iterrows():
-                ref = make_image(row["url_canon"])
-                try:
-                    got = decode_image(row["bytes"], row["fmt"])
-                    ref_px = decode_image(ref["bytes"], ref["fmt"])
-                except NotImplementedError:
-                    continue  # jpeg stub: plumbing-only rows
-                p = psnr(ref_px, got)
+            for (_, row), ref in zip(pdf.iterrows(), refs):
+                got = decode_image(row["bytes"], row["fmt"])
+                p = psnr(ref["raw"], got)
                 ok = (
-                    (p >= 40.0 if row["fmt"] == "jpeg" else bool((ref_px == got).all()))
+                    (p >= 40.0 if row["fmt"] == "jpeg" else bool((ref["raw"] == got).all()))
                     and row["caption"] == ref["caption"]
                     and int(row["phash"]) == ref["phash"]
+                    and row["fmt"] == ref["fmt"]
                 )
                 if not ok:
                     bad.append({"image_id": row["image_id"], "url_canon": row["url_canon"],

@@ -4,12 +4,19 @@ The image analog of the reference's per-record scientific payload (CIF text
 decoded per row, U1-U3 in SURVEY.md §2.8): opaque ``binary`` column + typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages. The decode here
 is the repo's own pure-numpy PNG codec (datagen/images.py) — real bytes, real
-decode; swap the codec call for libjpeg/pillow on a full cluster (JPEG is an
-explicit ``NotImplementedError`` stub).
+decode; swap the codec call for libjpeg/pillow on a full cluster.
 
-No SQL oracle (binary image ops aren't SQL-expressible) → driver records the
-rows-only check; the pixel-level correctness gate is
-``crawl.engine.validate_images`` + tests/test_images.py.
+Input: a landing-table analog GENERATED ON THE EXECUTORS from the sf-scaled
+``documents`` table (one image per doc_id < MM_MAX_DOC) — the same
+deterministic generator the crawl lands into `pages`, so row count scales
+with sf and nothing is fabricated on the driver. Decode stats are
+vectorized per (w, h) shape group (numpy stacks); only the per-row zlib
+inflate — inherent to the codec — runs row-wise.
+
+Oracles: golden expected-value tables computed AT IMPORT TIME by the
+pure-python codec (no Spark) and rendered as VALUES literals joined against
+``documents`` — so DuckDB checks values, not just row counts, and the sf
+restriction comes from the stored table itself.
 """
 
 from __future__ import annotations
@@ -17,113 +24,229 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..crawl.canonicalize import canonicalize_py
-from ..datagen.images import decode_image, make_image, phash64
-from ..datagen.web import SyntheticWeb, WebConfig
-from .base import register
+from ..datagen.images import decode_image, make_images, phash64
+from .base import load, register
 
-_N_SAMPLE = 48
+MM_MAX_DOC = 160
 
 
-def _sample_images_df(spark: SparkSession) -> DataFrame:
-    """Deterministic image table (same generator the crawl lands)."""
-    web = SyntheticWeb(WebConfig(seed="mm-v1"))
-    urls = sorted({canonicalize_py(u) for u in web.seed_urls(_N_SAMPLE)} - {None})
-    recs = [dict(make_image(u), url_canon=u) for u in urls]
-    return spark.createDataFrame(
-        pd.DataFrame(recs),
-        "image_id string, bytes binary, w int, h int, fmt string, "
-        "caption string, phash long, url_canon string",
+def _mm_urls(doc_ids: list[int]) -> list[str]:
+    return [f"http://img{d % 12}.test/id/{d}" for d in doc_ids]
+
+
+def _images_df(spark: SparkSession, sf: str) -> DataFrame:
+    """The image+caption landing table for this sf: one deterministic image
+    per stored doc_id, synthesized executor-side in Arrow batches (the
+    fetch-stage generator, datagen/images.py make_images)."""
+    docs = (
+        load(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < MM_MAX_DOC)
     )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            urls = _mm_urls(ids)
+            imgs = make_images(urls)
+            yield pd.DataFrame(
+                [
+                    {"doc_id": d, "url_canon": u, **img}
+                    for d, u, img in zip(ids, urls, imgs)
+                ]
+            ) if ids else pd.DataFrame(
+                columns=["doc_id", "url_canon", "image_id", "bytes", "w", "h",
+                         "fmt", "caption", "phash"]
+            )
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, url_canon string, image_id string, bytes binary, "
+        "w int, h int, fmt string, caption string, phash long",
+    )
+
+
+def _pool8(px: np.ndarray) -> np.ndarray:
+    """8x8 average-pool (uint8) — the thumbnail/resize kernel shared by the
+    Spark stage and the golden-oracle generator."""
+    arr = px.astype(np.float64)
+    h, w, _ = arr.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    small = np.zeros((8, 8, 3))
+    for i in range(8):
+        for j in range(8):
+            small[i, j] = arr[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
+    return small.clip(0, 255).astype(np.uint8)
+
+
+def _round4(x: float) -> float:
+    """Spark ROUND semantics (HALF_UP) at 4dp for positive values."""
+    import math
+
+    return math.floor(x * 10_000 + 0.5) / 10_000
+
+
+# ------------------------------------------------------------------ goldens
+def _golden() -> list[dict]:
+    """Expected per-image values for every possible doc_id, computed by the
+    pure-python codec path (no Spark): the oracle joins these against the
+    sf's stored documents so only rows that exist at this sf are checked."""
+    ids = list(range(MM_MAX_DOC))
+    imgs = make_images(_mm_urls(ids))
+    rows = []
+    for d, img in zip(ids, imgs):
+        px = decode_image(img["bytes"], img["fmt"])
+        small = _pool8(px)
+        rows.append(
+            {
+                "doc_id": d,
+                "image_id": img["image_id"],
+                "w": int(px.shape[1]),
+                "h": int(px.shape[0]),
+                "mean_r": _round4(float(px[:, :, 0].mean())),
+                "mean_g": _round4(float(px[:, :, 1].mean())),
+                "mean_b": _round4(float(px[:, :, 2].mean())),
+                "phash": int(img["phash"]),
+                "phash_small": phash64(small),
+                "thumb_mean": _round4(float(small.mean())),
+            }
+        )
+    return rows
+
+
+_G = _golden()
+
+
+def _values_table(cols: list[str]) -> str:
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v + "'"
+        if isinstance(v, float):
+            # bare float literals type as DECIMAL in DuckDB — cast so the
+            # driver's normalizer sees DOUBLE on both engines
+            return f"CAST({v:.4f} AS DOUBLE)"
+        return str(v)
+
+    rows = ", ".join("(" + ", ".join(lit(r[c]) for c in cols) + ")" for r in _G)
+    return f"(VALUES {rows}) AS exp({', '.join(cols)})"
 
 
 @register(
     "mm_decode_metadata",
-    None,
+    f"""
+    SELECT exp.image_id, exp.w, exp.h, exp.mean_r, exp.mean_g, exp.mean_b
+    FROM {_values_table(['doc_id', 'image_id', 'w', 'h', 'mean_r', 'mean_g', 'mean_b'])}
+    JOIN documents d ON d.doc_id = exp.doc_id
+    """,
     "Image decode → per-channel stats (binary column in, typed metadata "
-    "out; Arrow-batched mapInPandas — the U1/U2 payload-decode analog)",
+    "out; Arrow-batched mapInPandas, stats vectorized per (w,h) shape "
+    "stack — the U1/U2 payload-decode analog). Golden-oracle checked",
 )
 def mm_decode_metadata(spark: SparkSession, sf: str) -> DataFrame:
-    imgs = _sample_images_df(spark)
+    imgs = _images_df(spark, sf)
 
     def decode_stats(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = decode_image(r["bytes"], r["fmt"])
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "w": int(px.shape[1]),
-                        "h": int(px.shape[0]),
-                        "mean_r": round(float(px[:, :, 0].mean()), 4),
-                        "mean_g": round(float(px[:, :, 1].mean()), 4),
-                        "mean_b": round(float(px[:, :, 2].mean()), 4),
-                    }
+            if not len(pdf):
+                yield pd.DataFrame(
+                    columns=["image_id", "w", "h", "mean_r", "mean_g", "mean_b"]
                 )
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                columns=["image_id", "w", "h", "mean_r", "mean_g", "mean_b"]
-            )
+                continue
+            pxs = [decode_image(b, f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+            out = {
+                "image_id": list(pdf["image_id"]),
+                "w": [p.shape[1] for p in pxs],
+                "h": [p.shape[0] for p in pxs],
+                "mean_r": np.empty(len(pxs)),
+                "mean_g": np.empty(len(pxs)),
+                "mean_b": np.empty(len(pxs)),
+            }
+            shapes = np.array([p.shape[:2] for p in pxs])
+            for hw in {tuple(s) for s in shapes}:
+                (idx,) = np.nonzero((shapes == hw).all(axis=1))
+                stack = np.stack([pxs[i] for i in idx])  # (n, h, w, 3)
+                means = stack.astype(np.float64).mean(axis=(1, 2))  # (n, 3)
+                for k, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[ch][idx] = means[:, k]
+            pdf_out = pd.DataFrame(out)
+            for ch in ("mean_r", "mean_g", "mean_b"):
+                pdf_out[ch] = np.floor(pdf_out[ch] * 10_000 + 0.5) / 10_000
+            yield pdf_out
 
     return imgs.mapInPandas(
         decode_stats,
         "image_id string, w int, h int, mean_r double, mean_g double, mean_b double",
-    ).orderBy("image_id")
+    )
 
 
 @register(
     "mm_resize_rehash",
-    None,
+    f"""
+    SELECT exp.image_id, exp.phash AS phash_full, exp.phash_small, exp.thumb_mean
+    FROM {_values_table(['doc_id', 'image_id', 'phash', 'phash_small', 'thumb_mean'])}
+    JOIN documents d ON d.doc_id = exp.doc_id
+    """,
     "Image resize (8x8 average-pool) + re-hash — the feature-extraction "
-    "stage shape (decode → transform → typed struct out)",
+    "stage shape (decode → transform → typed struct out). Golden-oracle "
+    "checked",
 )
 def mm_resize_rehash(spark: SparkSession, sf: str) -> DataFrame:
-    imgs = _sample_images_df(spark)
+    imgs = _images_df(spark, sf)
 
     def resize(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = decode_image(r["bytes"], r["fmt"]).astype(np.float64)
-                h, w, _ = px.shape
-                ys = (np.arange(9) * h) // 8
-                xs = (np.arange(9) * w) // 8
-                small = np.zeros((8, 8, 3))
-                for i in range(8):
-                    for j in range(8):
-                        small[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
-                small8 = small.clip(0, 255).astype(np.uint8)
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "phash_full": int(r["phash"]),
-                        "phash_small": phash64(small8),
-                        "thumb_mean": round(float(small8.mean()), 4),
-                    }
+            if not len(pdf):
+                yield pd.DataFrame(
+                    columns=["image_id", "phash_full", "phash_small", "thumb_mean"]
                 )
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                columns=["image_id", "phash_full", "phash_small", "thumb_mean"]
+                continue
+            smalls = [
+                _pool8(decode_image(b, f)) for b, f in zip(pdf["bytes"], pdf["fmt"])
+            ]
+            stack = np.stack(smalls)
+            thumb_means = stack.reshape(len(smalls), -1).astype(np.float64).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "phash_full": [int(p) for p in pdf["phash"]],
+                    "phash_small": [phash64(s) for s in smalls],
+                    "thumb_mean": np.floor(thumb_means * 10_000 + 0.5) / 10_000,
+                }
             )
 
     return imgs.mapInPandas(
         resize, "image_id string, phash_full long, phash_small long, thumb_mean double"
-    ).orderBy("image_id")
+    )
 
 
 @register(
     "mm_phash_near_dup_bands",
-    None,
+    f"""
+    WITH imgs AS (
+      SELECT exp.image_id, exp.phash
+      FROM {_values_table(['doc_id', 'image_id', 'phash'])}
+      JOIN documents d ON d.doc_id = exp.doc_id),
+    bands AS (
+      SELECT image_id, b.b AS band, (phash >> (b.b * 16)) & 65535 AS band_val
+      FROM imgs, (SELECT unnest(range(0, 4)) AS b) b)
+    SELECT a.image_id AS img_a, b.image_id AS img_b,
+           count(DISTINCT a.band) AS n_band_hits
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.image_id < b.image_id
+    GROUP BY a.image_id, b.image_id
+    """,
     "Near-dup candidate pairs by 16-bit phash band equality (the J7 "
-    "blocked similarity join on image payloads)",
+    "blocked similarity join on image payloads): band bucket equi-join, "
+    "candidates scale with bucket size, never n². Golden-oracle checked",
 )
 def mm_phash_bands(spark: SparkSession, sf: str) -> DataFrame:
-    imgs = _sample_images_df(spark)
-    imgs.createOrReplaceTempView("v_mm_images")
+    _images_df(spark, sf).createOrReplaceTempView("v_mm_images")
     return spark.sql("""
         WITH bands AS (
           SELECT image_id, b AS band,
-                 (phash >> (b * 16)) & 65535 AS band_val
+                 shiftright(phash, b * 16) & 65535 AS band_val
           FROM v_mm_images LATERAL VIEW explode(sequence(0, 3)) AS b)
         SELECT a.image_id AS img_a, b.image_id AS img_b,
                count(DISTINCT a.band) AS n_band_hits
@@ -131,5 +254,4 @@ def mm_phash_bands(spark: SparkSession, sf: str) -> DataFrame:
           ON a.band = b.band AND a.band_val = b.band_val
          AND a.image_id < b.image_id
         GROUP BY a.image_id, b.image_id
-        ORDER BY img_a, img_b
     """)

@@ -47,9 +47,48 @@ def test_phash_locality():
     assert d <= 8  # near-dup stays in nearby phash space
 
 
-def test_jpeg_stub_is_explicit():
-    with pytest.raises(NotImplementedError):
-        jpeg_decode(b"\xff\xd8fake")
+def test_jpeg_roundtrip_psnr():
+    """The lossy codec is real: decode != raw, but PSNR >= 40dB and the
+    round-trip is deterministic (identical bytes on re-encode)."""
+    from mongodb_postproc_spark.datagen.images import jpeg_encode
+
+    from mongodb_postproc_spark.datagen.images import make_images
+
+    # corpus-shaped input (the >=40dB invariant is defined over the crawl
+    # corpus; full-range white noise is JPEG's worst case and lands ~38dB)
+    arr = make_images(["http://rt.test/a"], return_raw=True)[0]["raw"]
+    data = jpeg_encode(arr)
+    out = jpeg_decode(data)
+    assert out.shape == arr.shape
+    assert not (out == arr).all()          # genuinely lossy
+    assert psnr(arr, out) >= 40.0          # the input_hint invariant
+    assert jpeg_encode(arr) == data        # deterministic
+
+
+def test_jpeg_nonmultiple_dims():
+    from mongodb_postproc_spark.datagen.images import jpeg_encode
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(arr))
+    assert out.shape == arr.shape and psnr(arr, out) >= 30.0
+
+
+def test_mixed_format_generation():
+    """1 in 8 synthetic rows is lossy; every row's stored bytes decode to
+    its raw array exactly (png) or within the PSNR bound (jpeg)."""
+    from mongodb_postproc_spark.datagen.images import make_images
+
+    recs = make_images([f"http://mixed{i}.test/x/{i}" for i in range(64)],
+                       return_raw=True)
+    fmts = {r["fmt"] for r in recs}
+    assert fmts == {"png", "jpeg"}
+    for r in recs:
+        got = decode_image(r["bytes"], r["fmt"])
+        if r["fmt"] == "png":
+            assert (got == r["raw"]).all()
+        else:
+            assert psnr(r["raw"], got) >= 40.0
 
 
 def test_batch_invariance():
