@@ -35,12 +35,15 @@ anti-join against the accumulated delete files, and a compaction folds them
 back into the data when they exceed ~2x the live row count.
 
 Seen-set at 10^10: the Bloom state is hash-partitioned by
-``pmod(xxhash64(url_canon), n_buckets)``. Candidate link dedup and the
-Bloom probe run FUSED in one groupBy(bucket).applyInPandas stage (a URL's
-duplicates all hash to its bucket), and each task loads only its bucket's
-bloom slice straight from the state table's parquet (seen.py) — nothing is
-collected or broadcast through the driver. Bloom-positive rows are
-confirmed by the exact anti-join, so false positives never drop URLs.
+``pmod(hash(url_canon), n_buckets)`` — Murmur3, the same function Spark's
+HashPartitioning applies — so the bucket layout ALIGNS with the dedup
+aggregate's shuffle. Candidate dedup is a min-struct hash aggregate
+(map-side combine collapses the hot host's repeated links before the
+shuffle), and the Bloom probe is a mapInPandas in that same stage: each
+task loads only its aligned bucket slices straight from the state table's
+parquet (seen.py) — nothing is collected or broadcast through the driver.
+Bloom-positive rows are confirmed by the exact anti-join, so false
+positives never drop URLs.
 
 Per-round counters (fetched, links, new, blocked) ride on
 ``DataFrame.observe`` attached to writes the round performs anyway — the
@@ -149,23 +152,33 @@ def _fetch_factory(cfg: CrawlConfig, rnd: int):
     return fetch
 
 
-def _make_dedup_probe(state_dirs: list[str]):
-    """Fused first-discovery dedup + sliced-Bloom probe for ONE bucket group
-    (groupBy(bucket).applyInPandas). All duplicates of a URL hash to the
-    same bucket, so within-group drop_duplicates IS the global dedup; the
-    bloom slice is loaded from the state table's parquet and cached per
+def _make_probe(state_dirs: list[str]):
+    """Sliced-Bloom probe (mapInPandas, NO shuffle of its own): the input
+    arrives already hash-partitioned by url_canon from the dedup aggregate,
+    and ``bucket = pmod(hash(url), n_buckets)`` uses the same Murmur3 hash
+    as Spark's HashPartitioning — so each task sees a handful of aligned
+    bucket slices (exactly one when n_buckets == shuffle partitions) and
+    loads only those bloom rows from the state table's parquet, cached per
     python worker (seen.py module cache, content-keyed)."""
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["url_canon", "discovery_ts"]).drop_duplicates(
-            "url_canon", keep="first"
-        )
-        blooms = load_bucket_blooms(state_dirs, int(pdf["bucket"].iloc[0]))
-        out = pdf.copy()
-        out["maybe_seen"] = contains_any(blooms, out["url_canon"])
-        return out[FRONTIER_COLS + ["bucket", "maybe_seen"]]
+    import numpy as np
 
-    return fn
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(maybe_seen=pd.Series(dtype=bool))
+                continue
+            buckets = pdf["bucket"].to_numpy()
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                mask = buckets == b
+                blooms = load_bucket_blooms(state_dirs, int(b))
+                maybe[mask] = contains_any(blooms, pdf.loc[mask, "url_canon"])
+            out = pdf.copy()
+            out["maybe_seen"] = maybe
+            yield out
+
+    return probe
 
 
 @dataclass
@@ -216,11 +229,14 @@ class CrawlEngine:
     def _read(self, name: str, state: dict) -> DataFrame:
         return self.catalog.read(name, self.spark, snapshot=state["snapshots"].get(name))
 
-    def _upsert(self, name: str, df: DataFrame, partition_by: str | None = None) -> int:
+    def _upsert(self, name: str, df: DataFrame, partition_by: str | None = None,
+                options: dict | None = None) -> int:
         """Append to an existing table, create it on the first round."""
         if self.catalog.exists(name):
-            return self.catalog.append(name, df, partition_by=partition_by)
-        return self.catalog.create_or_replace(name, df, partition_by=partition_by)
+            return self.catalog.append(name, df, partition_by=partition_by, options=options)
+        return self.catalog.create_or_replace(
+            name, df, partition_by=partition_by, options=options
+        )
 
     # ---------------------------------------------------------------- robots
     def _robots_df(self) -> DataFrame:
@@ -247,7 +263,11 @@ class CrawlEngine:
 
     # ---------------------------------------------------------------- seen
     def _bucket_col(self):
-        return F.pmod(F.xxhash64("url_canon"), F.lit(self.n_buckets)).cast("int")
+        # F.hash IS Spark's shuffle hash (Murmur3), so pmod(hash, n) equals
+        # the partition a url_canon-keyed shuffle assigns when the partition
+        # count equals n — that alignment is what lets the probe run inside
+        # the dedup aggregate's stage with no shuffle of its own
+        return F.pmod(F.hash("url_canon"), F.lit(self.n_buckets)).cast("int")
 
     def _load_bloom_broadcast(self, state: dict | None) -> Bloom | None:
         """Legacy/small-scale loader: OR every state row into one driver-side
@@ -270,21 +290,43 @@ class CrawlEngine:
                              state: dict) -> DataFrame:
         """First-discovery dedup of raw link candidates + exact-unseen subset.
 
+        The dedup is a min-struct aggregate keyed on url_canon — Spark's
+        hash aggregate partially combines BEFORE the shuffle, so duplicate
+        links (the hot host repeats its URLs on every page) collapse
+        map-side and only distinct URLs travel. discovery_ts leads the
+        struct, so min() picks the first-discovery row deterministically
+        (ts values are globally unique by construction).
+
         Bloom prunes the anti-join: bloom-negative rows are definitely new
         (no shuffle into the join); bloom-positive rows are confirmed by the
-        exact anti-join (no false drops). ``partitioned`` mode fuses the
-        dedup with the probe in one bucket-grouped python stage and loads
-        bloom slices executor-side; ``broadcast`` keeps the merged-filter
-        pandas UDF for small deployments and legacy state."""
+        exact anti-join (no false drops). ``partitioned`` mode runs the
+        probe as a mapInPandas in the aggregate's own stage (bucket expr is
+        shuffle-aligned, see _bucket_col) loading bloom slices
+        executor-side; ``broadcast`` keeps the merged-filter pandas UDF for
+        small deployments and legacy state."""
+        deduped = (
+            candidates.groupBy("url_canon")
+            .agg(
+                F.min(
+                    F.struct("discovery_ts", "priority", "depth", "host")
+                ).alias("__first")
+            )
+            .select(
+                "url_canon",
+                F.col("__first.host").alias("host"),
+                F.col("__first.priority").alias("priority"),
+                F.col("__first.discovery_ts").alias("discovery_ts"),
+                F.col("__first.depth").alias("depth"),
+            )
+        )
         if self.use_bloom and self.bloom_mode == "partitioned":
             state_dirs = (
                 self.catalog.member_dirs("seen_state", state["snapshots"]["seen_state"])
                 if "seen_state" in state["snapshots"] else []
             )
             probed = (
-                candidates.withColumn("bucket", self._bucket_col())
-                .groupBy("bucket")
-                .applyInPandas(_make_dedup_probe(state_dirs), PROBE_SCHEMA)
+                deduped.withColumn("bucket", self._bucket_col())
+                .mapInPandas(_make_probe(state_dirs), PROBE_SCHEMA)
                 .localCheckpoint(eager=False)
             )
             definite_new = probed.filter(~F.col("maybe_seen")).select(*FRONTIER_COLS)
@@ -294,14 +336,6 @@ class CrawlEngine:
                 .join(seen, "url_canon", "left_anti")
             )
             return definite_new.unionByName(confirmed_new)
-
-        # window dedup (shuffle by url_canon), then optional broadcast probe
-        w_dedup = Window.partitionBy("url_canon").orderBy("discovery_ts")
-        deduped = (
-            candidates.withColumn("__rn", F.row_number().over(w_dedup))
-            .filter(F.col("__rn") == 1)
-            .select(*FRONTIER_COLS)
-        )
         bloom = self._load_bloom_broadcast(state) if self.use_bloom else None
         if bloom is None:
             return deduped.join(seen, "url_canon", "left_anti")
@@ -497,8 +531,28 @@ class CrawlEngine:
         #    never re-serialized, and the file listing stays O(round), not
         #    O(all rounds). Round totals ride on observe — no count job.
         obs_pages = Observation(f"r{rnd}_pages")
+        # explicit round-robin repartition: the scheduler's range partitions
+        # are sized for the SORT (bytes), but the fetch stage is
+        # compute-bound per row — AQE's byte-based coalescing would leave
+        # cores idle (measured: 10 partitions on 16 cores = 38% of the
+        # round's wall). 3x parallelism evens out synth-cost variance
+        # between (w,h)/format mixes; rows are ~60 bytes, the shuffle is
+        # noise next to the per-row work it balances.
+        # explicit round-robin repartition to exactly one task per core: the
+        # scheduler's range partitions are sized for the SORT (bytes), but
+        # the fetch stage is compute-bound per row — AQE's byte-based
+        # coalescing left 10 partitions on 16 cores (38% of round wall
+        # idle). One large task per core also keeps the Arrow batches big
+        # enough for the generator's (w,h)-stacked vectorization; measured
+        # 16 > 48 > 10 partitions at 16 cores (28s vs 79s vs 52s).
+        fetch_mult = int(os.environ.get("SPARK_GRAFT_FETCH_PARTS_MULT", "1"))
+        fetch_in = sched.select("seq", "url_canon", "host", "depth")
+        if fetch_mult > 0:
+            fetch_in = fetch_in.repartition(
+                fetch_mult * self.spark.sparkContext.defaultParallelism
+            )
         fetched = (
-            sched.select("seq", "url_canon", "host", "depth")
+            fetch_in
             .mapInPandas(_fetch_factory(self.cfg, rnd), FETCH_SCHEMA)
             .observe(
                 obs_pages,
@@ -506,7 +560,11 @@ class CrawlEngine:
                 F.sum(F.size("links")).alias("n_links"),
             )
         )
-        pages_snap = self._upsert("pages", fetched)
+        # uncompressed parquet for pages: the dominant column is codec
+        # output (PNG/JPEG bytes) that snappy cannot shrink — skipping it
+        # saves JVM cycles that would otherwise contend with the python
+        # workers for the same cores during the fetch stage
+        pages_snap = self._upsert("pages", fetched, options={"compression": "none"})
         pm = obs_pages.get
         n_fetched = int(pm["n_fetched"])
         links_extracted = int(pm["n_links"] or 0)

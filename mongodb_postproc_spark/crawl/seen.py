@@ -10,7 +10,9 @@ kept EXACT (the fixtures demand the exact set, SURVEY.md §7 "What's hard"):
                                 otherwise DROP real URLs).
 
 State layout (FIXTURES.md `seen_state`): the seen set is hash-partitioned
-into ``bucket = pmod(xxhash64(url_canon), n_buckets)`` slices; one row per
+into ``bucket = pmod(hash(url_canon), n_buckets)`` slices (Murmur3 — the
+same hash Spark's shuffle partitioning uses, so bucket slices align with
+the dedup aggregate's partitions and the probe needs no shuffle); one row per
 (bucket, epoch) — (bucket, epoch, bloom_bytes, n_items) — persisted through
 the table catalog partitioned by bucket on disk. Epochs are crawl rounds.
 

@@ -343,12 +343,19 @@ def make_images(urls: list[str], return_raw: bool = False) -> list[dict]:
         for lo in range(0, len(idx), _CHUNK):
             chunk = idx[lo : lo + _CHUNK]
             hv = hvs[chunk][:, None]
-            base = (_splitmix(hv + bidx) & np.uint64(0xFF)).astype(np.uint8).reshape(-1, 4, 4, 3)
+            # base tiles in 0..239 so adding 4-bit noise stays in uint8 —
+            # no int16 widening, no clip, no extra (m,h,w,3) temporaries.
+            # NOTE the noise keeps the mild bit-11..14 structure of
+            # consecutive golden-ratio multiples on purpose: a stronger mix
+            # (tried) makes the subpixels zlib-incompressible and triples
+            # both PNG size and deflate time.
+            base = ((_splitmix(hv + bidx) & np.uint64(0xFF)) * np.uint64(240) >> np.uint64(8))
+            base = base.astype(np.uint8).reshape(-1, 4, 4, 3)
             arr = np.repeat(np.repeat(base, h // 4, axis=1), w // 4, axis=2)
             noise = (((hv ^ nidx) >> np.uint64(11)) & np.uint64(0xF)).astype(np.uint8).reshape(
                 -1, h, w, 3
             )
-            arr = (arr.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
+            arr += noise  # in-place: max 239 + 15 = 254
             hashes = _phash64_batch(arr)
             blobs: list[bytes | None] = [None] * len(chunk)
             (jk,) = np.nonzero(jpeg_mask[chunk])

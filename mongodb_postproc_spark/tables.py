@@ -106,13 +106,14 @@ class TableCatalog:
         return (snaps[-1]["id"] + 1) if snaps else 0
 
     def _write_snapshot(
-        self, name: str, df: DataFrame, kind: str, partition_by: str | None = None
+        self, name: str, df: DataFrame, kind: str, partition_by: str | None = None,
+        options: dict | None = None,
     ) -> int:
         manifest = self._load_manifest(name)
         snap_id = self._next_id(manifest)
         data_dir = self._snap_dir(name, snap_id)
         if partition_by is None:
-            df.write.mode("overwrite").parquet(data_dir)
+            df.write.mode("overwrite").options(**(options or {})).parquet(data_dir)
         else:
             # duplicate the partition column into the dir path (parquet
             # partitionBy drops it from data files; keeping it as a regular
@@ -139,11 +140,17 @@ class TableCatalog:
         self._commit_manifest(name, manifest)
         return snap_id
 
-    def create_or_replace(self, name: str, df: DataFrame, partition_by: str | None = None) -> int:
-        return self._write_snapshot(name, df, "replace", partition_by)
+    def create_or_replace(
+        self, name: str, df: DataFrame, partition_by: str | None = None,
+        options: dict | None = None,
+    ) -> int:
+        return self._write_snapshot(name, df, "replace", partition_by, options)
 
-    def append(self, name: str, df: DataFrame, partition_by: str | None = None) -> int:
-        return self._write_snapshot(name, df, "append", partition_by)
+    def append(
+        self, name: str, df: DataFrame, partition_by: str | None = None,
+        options: dict | None = None,
+    ) -> int:
+        return self._write_snapshot(name, df, "append", partition_by, options)
 
     def append_deletes(
         self, name: str, keys: DataFrame, key: str, scope: str = "sequenced"

@@ -84,7 +84,7 @@ def test_partitioned_state_is_bucket_sliced(spark, tmp_path):
     buckets = {
         r["url_canon"]: r["b"]
         for r in spark.createDataFrame(pd.DataFrame({"url_canon": seen_urls}))
-        .selectExpr("url_canon", "cast(pmod(xxhash64(url_canon), 4) as int) as b")
+        .selectExpr("url_canon", "cast(pmod(hash(url_canon), 4) as int) as b")
         .collect()
     }
     for b in range(4):
