@@ -437,7 +437,10 @@ class CrawlEngine:
         self.catalog.create_or_replace("frontier", allowed.select(*FRONTIER_COLS))
         self.catalog.create_or_replace(
             "seen",
-            seeds.observe(obs_seen, F.count(F.lit(1)).alias("n")).select("url_canon"),
+            seeds.observe(obs_seen, F.count(F.lit(1)).alias("n"))
+            .select("url_canon")
+            .withColumn("bucket", self._bucket_col()),
+            partition_by="bucket",
         )
         self.catalog.create_or_replace(
             "blocked",
@@ -596,10 +599,21 @@ class CrawlEngine:
         #    Row counters ride on the writes via observe.
         obs_seen = Observation(f"r{rnd}_seen")
         obs_blocked = Observation(f"r{rnd}_blocked")
-        self.catalog.append(
-            "seen",
-            new_urls.observe(obs_seen, F.count(F.lit(1)).alias("n")).select("url_canon"),
-        )
+        # seen is stored hash-bucketed on the SAME key layout as seen_state
+        # (pmod(hash(url), n_buckets) dirs): at 10^10 rows the exact
+        # anti-join confirmer must not reshuffle the seen side every round —
+        # with Iceberg's bucket transform this layout enables Spark's
+        # storage-partitioned join (SPARK-37375), turning the confirmer
+        # into a co-located join that only shuffles the (few) maybe rows.
+        # Workdirs from the flat-layout format keep appending flat.
+        seen_out = new_urls.observe(obs_seen, F.count(F.lit(1)).alias("n")).select("url_canon")
+        if self.catalog.partition_layout("seen") == "bucket":
+            self.catalog.append(
+                "seen", seen_out.withColumn("bucket", self._bucket_col()),
+                partition_by="bucket",
+            )
+        else:
+            self.catalog.append("seen", seen_out)
         n_new = int(obs_seen.get["n"])
         self.catalog.append(
             "blocked",

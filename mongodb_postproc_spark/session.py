@@ -79,6 +79,33 @@ def get_spark(
     return spark
 
 
+def physical_cores() -> int:
+    """Best-effort physical core count. A python-stage task occupies a JVM
+    task thread AND a python worker concurrently, so compute-heavy
+    pipelines schedule best at ~one task per PHYSICAL core — SMT siblings
+    only time-share them (measured: local[16] beats local[32] by ~25% on
+    the crawl round here). Sysfs topology when it distinguishes siblings;
+    otherwise cpu_count/2 (VMs like this one present every SMT thread as
+    its own core). Override with SPARK_GRAFT_PHYS_CORES."""
+    env = os.environ.get("SPARK_GRAFT_PHYS_CORES")
+    if env:
+        return int(env)
+    ncpu = os.cpu_count() or 8
+    import glob
+
+    cores = set()
+    for p in glob.glob("/sys/devices/system/cpu/cpu[0-9]*/topology/core_id"):
+        try:
+            pkg = p.replace("core_id", "physical_package_id")
+            with open(p) as f1, open(pkg) as f2:
+                cores.add((f2.read().strip(), f1.read().strip()))
+        except OSError:
+            break
+    if cores and len(cores) < ncpu:
+        return len(cores)
+    return max(1, ncpu // 2)
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

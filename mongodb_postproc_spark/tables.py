@@ -95,6 +95,7 @@ class TableCatalog:
             "delete_members": list(e.get("delete_members", [])),
             "delete_key": e.get("delete_key"),
             "delete_scope": e.get("delete_scope", "sequenced"),
+            "partition_by": e.get("partition_by"),
         }
 
     # ------------------------------------------------------------- writes
@@ -133,12 +134,23 @@ class TableCatalog:
                 "members": prev["members"] + [snap_id],
                 "delete_members": prev["delete_members"],
             }
+        eff_part = partition_by if partition_by is not None else (
+            prev.get("partition_by") if kind != "replace" else None
+        )
+        if eff_part is not None:
+            entry["partition_by"] = eff_part
         for k in ("delete_key", "delete_scope"):
             if prev.get(k) and kind != "replace":
                 entry[k] = prev[k]
         manifest["snapshots"].append(entry)
         self._commit_manifest(name, manifest)
         return snap_id
+
+    def partition_layout(self, name: str) -> str | None:
+        """The partition column of the table's latest snapshot, or None for
+        flat layout — appenders match it so a table never mixes layouts."""
+        snaps = self.snapshots(name)
+        return snaps[-1].get("partition_by") if snaps else None
 
     def create_or_replace(
         self, name: str, df: DataFrame, partition_by: str | None = None,
@@ -176,6 +188,8 @@ class TableCatalog:
             "delete_key": key,
             "delete_scope": scope,
         }
+        if prev.get("partition_by"):
+            entry["partition_by"] = prev["partition_by"]
         snaps.append(entry)
         self._commit_manifest(name, manifest)
         return snap_id
@@ -244,17 +258,27 @@ class TableCatalog:
         entry = self._resolve(name, snapshot)
         return [self._snap_dir(name, m) for m in entry.get("members", [])]
 
+    def _read_dirs(self, spark: SparkSession, dirs: list[str], partitioned: bool) -> DataFrame:
+        reader = spark.read
+        if partitioned:
+            # partition columns are duplicated into the data files at write
+            # time, so partition-dir INFERENCE is unnecessary — and it
+            # rejects multiple snapshot roots that each contain __pdir dirs
+            reader = reader.option("recursiveFileLookup", "true")
+        return reader.parquet(*dirs)
+
     def read(self, name: str, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
         entry = self._resolve(name, snapshot)
         members = entry.get("members", [])
         if not members:
             raise FileNotFoundError(f"table {name!r} has no data members at this snapshot")
+        parted = entry.get("partition_by") is not None
         deletes = entry.get("delete_members", [])
         if not deletes:
-            return spark.read.parquet(*[self._snap_dir(name, m) for m in members])
+            return self._read_dirs(spark, [self._snap_dir(name, m) for m in members], parted)
         key = entry["delete_key"]
         if entry.get("delete_scope") == "global":
-            data = spark.read.parquet(*[self._snap_dir(name, m) for m in members])
+            data = self._read_dirs(spark, [self._snap_dir(name, m) for m in members], parted)
             dels = spark.read.parquet(*[self._snap_dir(name, d) for d in deletes])
             return data.join(dels, key, "left_anti")
         # sequenced: a delete applies only to data members with a smaller id.
@@ -267,7 +291,7 @@ class TableCatalog:
             applicable = tuple(d for d in deletes if d > m)
             groups.setdefault(applicable, []).append(m)
         for applicable, ms in groups.items():
-            part = spark.read.parquet(*[self._snap_dir(name, m) for m in ms])
+            part = self._read_dirs(spark, [self._snap_dir(name, m) for m in ms], parted)
             if applicable:
                 dels = spark.read.parquet(*[self._snap_dir(name, d) for d in applicable])
                 part = part.join(dels, key, "left_anti")
