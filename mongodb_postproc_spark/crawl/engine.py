@@ -239,26 +239,63 @@ class CrawlEngine:
         )
 
     # ---------------------------------------------------------------- robots
+    RULES_T = "array<struct<pattern:string,allow:boolean,plen:int>>"
+
     def _robots_df(self) -> DataFrame:
         rows = SyntheticWeb(self.cfg.web).robots_rows()
+        data = [
+            (
+                r["host"],
+                [(u["pattern"], u["allow"], u["plen"]) for u in r["rules"]],
+                r["crawl_delay_ms"],
+            )
+            for r in rows
+        ]
         return self.spark.createDataFrame(
-            pd.DataFrame(rows),
-            "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+            data, f"host string, rules {self.RULES_T}, crawl_delay_ms long"
         )
 
-    @staticmethod
-    def _blocked_col():
+    @classmethod
+    def _blocked_col(cls):
+        """RFC 9309 robots evaluation, all native SQL expressions (no
+        python in the row path): per rule, the path matches a pattern that
+        is a prefix with one optional ``*`` wildcard and an optional
+        trailing ``$`` end-anchor; among matching rules the longest
+        pattern wins (RFC precedence), Allow winning ties; no match means
+        allowed. Mirrors datagen.web.robots_blocked — the sequential
+        simulator uses that python twin, and the fixtures assert equality."""
         path = F.regexp_replace(F.col("url_canon"), r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
-        rules = F.coalesce(F.col("disallow_prefixes"), F.array())
-        return F.exists(rules, lambda p: path.startswith(p))
+        rules = F.coalesce(F.col("rules"), F.array().cast(cls.RULES_T))
+
+        def rule_match(r):
+            pat = r["pattern"]
+            anchored = pat.endswith("$")
+            body = F.when(anchored, F.substring(pat, F.lit(1), F.length(pat) - 1)).otherwise(pat)
+            star = F.instr(body, "*")
+            pre = F.substring(body, F.lit(1), star - 1)
+            suf = F.substring(body, star + 1, F.length(body))
+            rest = F.substring(path, F.length(pre) + 1, F.length(path))
+            exact = F.when(anchored, path == body).otherwise(path.startswith(body))
+            wild = path.startswith(pre) & F.when(anchored, rest.endswith(suf)).otherwise(
+                F.contains(rest, suf)
+            )
+            return F.when(star == 0, exact).otherwise(wild)
+
+        best = F.array_max(
+            F.transform(
+                F.filter(rules, rule_match),
+                lambda r: F.struct(r["plen"].alias("l"), r["allow"].cast("int").alias("a")),
+            )
+        )
+        return best.isNotNull() & (best["a"] == 0)
 
     def _split_robots(self, df: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(allowed, blocked) — broadcast hash join, prefix-match filter."""
+        """(allowed, blocked) — broadcast hash join + native rule evaluator."""
         joined = df.join(
-            F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+            F.broadcast(robots.select("host", "rules")), "host", "left"
         ).withColumn("__blocked", self._blocked_col())
-        allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "disallow_prefixes")
-        blocked = joined.filter(F.col("__blocked")).drop("__blocked", "disallow_prefixes")
+        allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "rules")
+        blocked = joined.filter(F.col("__blocked")).drop("__blocked", "rules")
         return allowed, blocked
 
     # ---------------------------------------------------------------- seen

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..datagen.web import CrawlConfig, SyntheticWeb
+from ..datagen.web import CrawlConfig, SyntheticWeb, robots_blocked
 from .canonicalize import canonicalize_py, host_py
 
 
@@ -70,7 +70,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
         host = host_py(url_canon)
         rules = robots.get(host)
         path = url_canon.split(host, 1)[1]
-        if rules and any(path.startswith(p) for p in rules["disallow_prefixes"]):
+        if rules and robots_blocked(path, rules["rules"]):
             blocked.add(url_canon)
             return
         frontier[url_canon] = (priority, ts, depth)

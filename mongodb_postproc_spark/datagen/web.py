@@ -113,29 +113,80 @@ class SyntheticWeb:
 
     # ------------------------------------------------------------ robots
     def robots_rows(self) -> list[dict]:
-        """Per-host robots rules: disallow prefixes + crawl delay (the
+        """Per-host robots rules (RFC 9309 subset) + crawl delay (the
         politeness budget — analog of the fixed sleeps at
-        /root/reference/findMissingPages.py:11-12,26)."""
+        /root/reference/findMissingPages.py:11-12,26).
+
+        Each rule is {pattern, allow, plen}: patterns are path prefixes
+        that may contain one ``*`` wildcard and an optional trailing ``$``
+        end-anchor; precedence is RFC 9309 longest-match (pattern octet
+        length, stored as plen), Allow winning ties. Hosts deterministically
+        get plain-prefix disallows, a wildcard disallow, and an
+        allow-overrides-disallow pair so every precedence branch is live
+        in the fixtures."""
         rows = []
         for i in range(self.cfg.n_hosts):
             hv = h60(f"{self.cfg.seed}|robots|{i}")
+            rules = [{"pattern": "/private", "allow": False}]
+            if hv % 3 == 0:
+                rules.append({"pattern": "/tmp", "allow": False})
+            if hv % 4 == 0:
+                # wildcard + end anchor: any /p/ page whose number ends in 7
+                rules.append({"pattern": "/p/*7$", "allow": False})
+            if hv % 5 == 0:
+                # longest-match precedence: /p/1... blocked, but /p/12...
+                # re-allowed (tie on length resolves to Allow per the RFC)
+                rules.append({"pattern": "/p/1*", "allow": False})
+                rules.append({"pattern": "/p/12", "allow": True})
+            for r in rules:
+                r["plen"] = len(r["pattern"])
             rows.append(
                 {
                     "host": host_name(i),
-                    "disallow_prefixes": ["/private"] + (["/tmp"] if hv % 3 == 0 else []),
+                    "rules": rules,
                     "crawl_delay_ms": int(50 * (1 + hv % 5)),  # 50..250ms
                 }
             )
         return rows
 
-    def is_blocked(self, url_canon: str, robots: dict[str, list[str]] | None = None) -> bool:
+    def is_blocked(self, url_canon: str, robots: dict[str, list[dict]] | None = None) -> bool:
         if robots is None:
-            robots = {r["host"]: r["disallow_prefixes"] for r in self.robots_rows()}
+            robots = {r["host"]: r["rules"] for r in self.robots_rows()}
         from ..crawl.canonicalize import host_py
 
         host = host_py(url_canon)
         path = url_canon.split(host, 1)[1]
-        return any(path.startswith(p) for p in robots.get(host, []))
+        return robots_blocked(path, robots.get(host, []))
+
+
+def _rule_matches(path: str, pattern: str) -> bool:
+    """RFC 9309 path match: pattern is a prefix; one ``*`` spans any run;
+    trailing ``$`` anchors the end. (Generated fixtures use at most one
+    wildcard; the engine mirrors this matcher with native SQL functions —
+    the general multi-* case would drop to a regex rlike.)"""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    if "*" not in pattern:
+        return path == pattern if anchored else path.startswith(pattern)
+    pre, suf = pattern.split("*", 1)
+    if not path.startswith(pre):
+        return False
+    rest = path[len(pre):]
+    return rest.endswith(suf) if anchored else suf in rest
+
+
+def robots_blocked(path: str, rules: list[dict]) -> bool:
+    """Longest-match precedence, Allow wins ties, no match -> allowed.
+    The python mirror of the engine's native-SQL evaluator
+    (crawl/engine.py _blocked_col); the sequential simulator uses this."""
+    best = None
+    for r in rules:
+        if _rule_matches(path, r["pattern"]):
+            key = (r["plen"], 1 if r["allow"] else 0)
+            if best is None or key > best:
+                best = key
+    return best is not None and best[1] == 0
 
 
 @dataclass(frozen=True)
