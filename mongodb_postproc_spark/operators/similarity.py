@@ -228,3 +228,99 @@ def _ivf_sql(dialect: str, table: str) -> str:
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
     return spark.sql(_ivf_sql("spark", v))
+
+
+# ---------------------------------------------------------------------------
+# K-means training for the IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_sql(d: str) -> str:
+    """Lloyd's k-means, KMEANS_ITERS iterations unrolled as CTE chains —
+    the coarse-quantizer training the IVF path needs at real scale (the
+    label-blocked variant stands in at fixture scale). Each iteration is
+    assign (K-row broadcast product, argmin by L2) -> recompute (groupBy
+    mean). Determinism across engines: centroid components round to 6dp
+    after every mean, so both engines hold bit-identical centroid arrays;
+    distances then come from the proven-identical dot-product folds
+    (aggregate/zip_with vs list_dot_product) over identical inputs, and
+    argmin ties break on cluster id. A driver-side loop with
+    localCheckpoint per iteration generalizes this to dynamic iteration
+    counts; the unrolled form keeps the whole plan declarative AND lets
+    DuckDB run the byte-equivalent query as the oracle."""
+    if d == "spark":
+        def dot(a: str, b: str) -> str:
+            return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+                    f"(acc, x) -> acc + x)")
+        earr = "CAST(embedding AS ARRAY<DOUBLE>)"
+        init_arr = (f"transform({earr}, x -> "
+                    f"CAST(round(x * 10000) AS BIGINT) / 10000.0D)")
+        carr = "transform(sort_array(collect_list(struct(pos, cv))), s -> s.cv)"
+        explode = ("SELECT vec_id, pos, CAST(v AS DOUBLE) AS v, "
+                   "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS vi "
+                   "FROM __EMB__ LATERAL VIEW posexplode(embedding) AS pos, v")
+    else:
+        def dot(a: str, b: str) -> str:
+            return f"list_dot_product({a}, {b})"
+        earr = "embedding::DOUBLE[]"
+        init_arr = ("list_transform(" + earr + ", x -> "
+                    "CAST(round(x * 10000) AS BIGINT) / CAST(10000.0 AS DOUBLE))")
+        carr = "list(cv ORDER BY pos)"
+        explode = ("SELECT vec_id, CAST(i - 1 AS INT) AS pos, embedding[i]::DOUBLE AS v, "
+                   "CAST(round(embedding[i]::DOUBLE * 10000) AS BIGINT) AS vi "
+                   "FROM __EMB__, range(1, 65) r(i)")
+    ctes = [
+        f"el AS ({explode})",
+        f"""cent0 AS (
+          SELECT CAST(vec_id AS INT) AS cluster, {init_arr} AS carr
+          FROM __EMB__ WHERE vec_id < {KMEANS_K})""",
+    ]
+    prev = "cent0"
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""d{i} AS (
+          SELECT e.vec_id, c.cluster,
+                 round({dot('c.carr', 'c.carr')} - 2 * {dot(f'{earr}', 'c.carr')}, 6) AS dist
+          FROM __EMB__ e CROSS JOIN {prev} c)""")
+        mstruct = ("named_struct('d', dist, 'c', cluster)" if d == "spark"
+                   else "{'d': dist, 'c': cluster}")
+        ctes.append(f"""a{i} AS (
+          SELECT vec_id, m.c AS cluster FROM (
+            SELECT vec_id, min({mstruct}) AS m
+            FROM d{i} GROUP BY vec_id) t)""")
+        # fixed-point mean: per-element values quantized to 1e-4 integers,
+        # summed EXACTLY (integer sums are order-free, unlike double sums
+        # whose last-ulp drift between engines flips argmin near-ties),
+        # then one deterministic division -> bit-identical centroids
+        ctes.append(f"""cm{i} AS (
+          SELECT a.cluster, el.pos,
+                 round(CAST(sum(el.vi) AS DOUBLE) / (10000 * count(*)), 6) AS cv
+          FROM a{i} a JOIN el ON a.vec_id = el.vec_id
+          GROUP BY a.cluster, el.pos)""")
+        ctes.append(f"""cent{i} AS (
+          SELECT cluster, {carr} AS carr FROM cm{i} GROUP BY cluster)""")
+        prev = f"cent{i}"
+    last = KMEANS_ITERS
+    body = f"""
+        SELECT cm.cluster, cm.pos, round(cm.cv, 4) + 0.0 AS centroid_v, sz.n_members
+        FROM cm{last} cm
+        JOIN (SELECT cluster, count(*) AS n_members FROM a{last} GROUP BY cluster) sz
+          ON cm.cluster = sz.cluster
+    """
+    return "WITH " + ",\n".join(ctes) + body
+
+
+@register(
+    "sim_kmeans_train",
+    _kmeans_sql("duckdb").replace("__EMB__", "embeddings"),
+    f"K-means coarse-quantizer training ({KMEANS_K} centroids, "
+    f"{KMEANS_ITERS} Lloyd iterations unrolled): broadcast K-row assign + "
+    "map-side-combined mean recompute per iteration — the cell count for "
+    "sim_ivf_topk comes from THIS at real scale (VERDICT r1). No n² stage; "
+    "per-iteration cost is O(n·K) with K constant",
+)
+def sim_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(_kmeans_sql("spark").replace("__EMB__", v))

@@ -30,8 +30,9 @@ from mongodb_postproc_spark.session import get_spark  # noqa: E402
 
 # brute-force all-pairs baselines: a BroadcastNestedLoopJoin over a tiny
 # broadcast query set IS the intended plan (the scale path is the LSH/banded
-# variant of each)
-BNLJ_BASELINES = {"sim_bruteforce_topk", "sim_threshold_neighbors"}
+# variant of each). sim_kmeans_train's assign step is a per-vector product
+# with the K=8 broadcast centroid rows — O(n·K), K constant, by design.
+BNLJ_BASELINES = {"sim_bruteforce_topk", "sim_threshold_neighbors", "sim_kmeans_train"}
 
 
 def audit_plan(plan: str, name: str = "") -> list[str]:
