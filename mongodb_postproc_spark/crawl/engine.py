@@ -71,6 +71,7 @@ from .ordering import assign_global_seq
 from .seen import (
     Bloom,
     contains_any,
+    fold_bucket_state,
     load_bucket_blooms,
     make_bucket_state_builder,
     merge_state,
@@ -433,6 +434,25 @@ class CrawlEngine:
         )
         self._upsert("seen_state", rows)
 
+    # Fold per-epoch seen_state rows after this many appended epochs: one
+    # row per (bucket, geometry) afterwards. Bounds the probe's per-bucket
+    # file list at O(1) regardless of round count (the frontier delete-file
+    # compaction's counterpart for the bloom state).
+    SEEN_COMPACT_EPOCHS = 8
+
+    def compact_seen_state(self) -> None:
+        """Rewrite seen_state with each bucket's epoch rows OR-folded into
+        one bloom row per geometry (seen.fold_bucket_state). Semantically a
+        no-op for the probe — it ORs the rows on read anyway — but turns
+        O(rounds) state rows/files per bucket into O(1). Only the bucketed
+        layout compacts; legacy flat state stays as written."""
+        df = self.catalog.read("seen_state", self.spark)
+        folded = df.groupBy("bucket").applyInPandas(
+            fold_bucket_state,
+            "bucket int, epoch int, bloom_bytes binary, n_items long",
+        )
+        self.catalog.create_or_replace("seen_state", folded, partition_by="bucket")
+
     # ---------------------------------------------------------------- init
     def init_crawl(self) -> None:
         """Round -1: canonicalize + dedup + robots-split the seed list."""
@@ -670,6 +690,21 @@ class CrawlEngine:
         self._append_seen_state(new_urls.select("url_canon"), epoch=rnd)
         tm.mark("write_seen_state")
 
+        # seen_state compaction policy (amortized, like the frontier's):
+        # each round appends <=1 row per touched bucket; after
+        # SEEN_COMPACT_EPOCHS appends, fold them to one row per bucket.
+        # Legacy checkpoints without the counter start it at the round
+        # number (every completed round appended one epoch).
+        seen_epochs = state.get("seen_epochs", state["round_completed"]) + 1
+        if (
+            self.use_bloom
+            and self.bloom_mode == "partitioned"
+            and seen_epochs >= self.SEEN_COMPACT_EPOCHS
+        ):
+            self.compact_seen_state()
+            seen_epochs = 1
+            tm.mark("compact_seen_state")
+
         # derived from the running counters (scheduled URLs leave the
         # frontier, allowed-new enter; every new URL enters seen) — replaces
         # two full-table count jobs per round
@@ -749,6 +784,7 @@ class CrawlEngine:
             "frontier_count": frontier_after,
             "seen_count": seen_after,
             "frontier_deletes": frontier_deletes,
+            "seen_epochs": seen_epochs,
             "snapshots": {
                 t: self.catalog.snapshots(t)[-1]["id"]
                 for t in ENGINE_TABLES

@@ -127,6 +127,40 @@ def make_bucket_state_builder(epoch: int, n_bits: int, n_hashes: int):
     return build
 
 
+def fold_bucket_state(pdf: pd.DataFrame) -> pd.DataFrame:
+    """groupBy(bucket).applyInPandas compaction fold: OR one bucket's
+    accumulated per-epoch bloom rows into a single row per bloom geometry —
+    exactly the merge every probe performs on read, done once at write time.
+    Without it the state table holds one row per (bucket, epoch) forever:
+    at 10^10 URLs over thousands of rounds that is thousands of files per
+    bucket to list, read and OR on every probe-cache miss. After the fold
+    the table is O(n_buckets) rows and one file read per bucket slice.
+
+    ``epoch`` becomes the max epoch folded in (the probe cache token only
+    needs monotonicity); ``n_items`` sums exactly because each round's
+    new-seen set is disjoint from all earlier rounds by construction.
+    The row loop is over per-epoch STATE rows (a handful per bucket),
+    not data rows."""
+    acc: dict[tuple[int, int], tuple[Bloom, int, int]] = {}
+    bucket = int(pdf["bucket"].iloc[0])
+    for ep, bb, ni in zip(pdf["epoch"], pdf["bloom_bytes"], pdf["n_items"]):
+        b = Bloom.from_bytes(bb)
+        shape = (b.n_bits, b.n_hashes)
+        if shape in acc:
+            m, mep, n = acc[shape]
+            acc[shape] = (m.merge(b), max(mep, int(ep)), n + int(ni))
+        else:
+            acc[shape] = (b, int(ep), int(ni))
+    out = {"bucket": [], "epoch": [], "bloom_bytes": [], "n_items": []}
+    for shape in sorted(acc):
+        m, ep, n = acc[shape]
+        out["bucket"].append(bucket)
+        out["epoch"].append(ep)
+        out["bloom_bytes"].append(m.to_bytes())
+        out["n_items"].append(n)
+    return pd.DataFrame(out)
+
+
 def merge_state(rows: list[dict]) -> Bloom | None:
     """OR all persisted per-partition blooms into one queryable filter."""
     merged: Bloom | None = None
