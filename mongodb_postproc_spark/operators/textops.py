@@ -334,3 +334,139 @@ def _jaccard_sql(dialect: str, tokens_cte: str, max_doc: int) -> str:
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf)
     return spark.sql(_jaccard_sql("spark", _SPARK_TOKENS.format(v=v), 60))
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the LSH candidate graph
+# --------------------------------------------------------------------------
+
+
+def _cluster_oracle_sql() -> str:
+    pairs_sql = _lsh_pairs_sql("duckdb", _DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE))
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+        comps AS (SELECT node AS doc_id, min(comp) AS cluster_id
+                  FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM comps
+    """
+
+
+@register(
+    "dedup_cluster_components",
+    _cluster_oracle_sql(),
+    "Connected components over the MinHash-LSH candidate graph: each near-dup "
+    "cluster collapses to its min-doc_id keeper — the keep-one step that "
+    "turns candidate pairs into an actual dedup decision. Spark side is "
+    "iterative min-label propagation (the standard distributed CC: each "
+    "sweep is one shuffle on the edge key, O(cluster diameter) sweeps, no "
+    "all-pairs stage); oracle is a DuckDB recursive CTE over the identical "
+    "pair list.",
+)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    v = _docs_view(spark, sf)
+    pairs = spark.sql(
+        _lsh_pairs_sql("spark", _SPARK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE, v=v))
+    )
+    # symmetrize once and pin the edge list: every sweep re-joins it, and
+    # recomputing shingle→minhash→band per sweep would dominate the loop
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "comp", F.col("doc_id")
+    ).localCheckpoint()
+    # min-label propagation to fixpoint: comp(v) <- min(comp(v), min over
+    # in-neighbors u of comp(u)). Deterministic (min), converges in
+    # O(diameter) sweeps; near-dup clusters are shallow (template families),
+    # so the loop is short. At 10^9+ edges the same loop stands — each sweep
+    # is one partial-aggregated shuffle on dst — with large-star/small-star
+    # as the documented upgrade if diameters ever grow adversarial.
+    while True:
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()  # cut lineage growth across sweeps
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.comp <> o.comp")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("cluster_id"),
+        (F.col("doc_id") == F.col("comp")).alias("is_keeper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Composed corpus-curation pipeline (quality filter -> dedup -> budget)
+# --------------------------------------------------------------------------
+
+
+def _corpus_pipeline_sql(dialect: str) -> str:
+    if dialect == "spark":
+        src = "{v}"
+        ntok = "size(split(trim(text), '\\\\s+'))"
+        stop = f"CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN {STOPWORDS})) AS DOUBLE)"
+    else:
+        src = "documents"
+        ntok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+        stop = f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN {STOPWORDS}))::DOUBLE"
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, lang, source, text,
+                 {ntok} AS n_tokens,
+                 {stop} / {ntok} AS stopword_ratio
+          FROM {src}),
+        quality AS (
+          SELECT * FROM scored
+          WHERE n_tokens BETWEEN 5 AND 5000 AND stopword_ratio >= 0.03),
+        keepers AS (
+          SELECT min(doc_id) AS keep_id
+          FROM quality GROUP BY md5(lower(trim(text)))),
+        corpus AS (
+          SELECT q.* FROM quality q JOIN keepers k ON q.doc_id = k.keep_id)
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens
+        FROM corpus GROUP BY lang, source
+    """
+
+
+@register(
+    "pipeline_corpus_curation",
+    _corpus_pipeline_sql("duckdb"),
+    "Composed training-data pipeline: quality filter (token count band + "
+    "stopword ratio) -> exact-dedup keeper join -> per-(lang, source) token "
+    "budget. One declarative plan — Catalyst fuses the scoring scan, the "
+    "dedup is a map-side-combined hash aggregate joined back (no row "
+    "explosion), everything shuffles on high-cardinality skew-free keys.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_corpus_pipeline_sql("spark").format(v=v))
