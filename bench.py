@@ -39,8 +39,10 @@ HEADLINE = [
     "w1_global_topk",
     "w5_politeness_slotting",
     "dedup_minhash_lsh_pairs",
+    "dedup_cluster_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "pipeline_corpus_curation",
     "sim_lsh_bucket_pairs",
     "sim_ivf_topk",
     "text_quality_score",

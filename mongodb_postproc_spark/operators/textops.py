@@ -34,6 +34,21 @@ def _docs_view(spark: SparkSession, sf: str, name: str = "v_documents") -> str:
     return name
 
 
+def _docs_view_parallel(spark: SparkSession, sf: str) -> str:
+    """documents view for the hash-heavy operators (minhash/simhash): if the
+    input has fewer splits than cores — one small parquet file locally —
+    spread the per-char hashing cost with an explicit round-robin
+    repartition. Conditional on purpose: a 100-TB corpus already has
+    thousands of natural splits, and an unconditional repartition would be
+    a full-corpus shuffle for nothing."""
+    df = load(spark, sf, "documents")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    df.createOrReplaceTempView("v_documents_par")
+    return "v_documents_par"
+
+
 # --------------------------------------------------------------------------
 
 
@@ -193,13 +208,6 @@ def _minhash_exprs(dialect: str) -> str:
 _HX_CTE = "SELECT doc_id, md5(shingle) AS hx FROM shingles"
 
 
-_SPARK_SHINGLES = """
-    SELECT doc_id, explode(transform(
-             sequence(1, greatest(length(text) - {n}, 1)),
-             i -> substring(text, i, {m}))) AS shingle
-    FROM {v}
-""".strip()
-
 _DUCK_SHINGLES = """
     SELECT doc_id, unnest([substr(text, CAST(i AS INT), {m})
                            for i in range(1, greatest(length(text) - {n}, 1) + 1)]) AS shingle
@@ -207,29 +215,54 @@ _DUCK_SHINGLES = """
 """.strip()
 
 
+def _sigs_sql(dialect: str, v: str = "documents") -> str:
+    """The shingle→minhash signature stage, per dialect.
+
+    Spark: explode(transform(sequence, i -> md5(substring))) + GROUP BY —
+    exactly one md5 per shingle (computed inside the explode's child
+    projection), partial min-aggregation collapses to one row per doc
+    map-side, and the final-agg EXCHANGE is the materialization point the
+    LSH band self-join reuses (ReusedExchange) for all four of its sigs
+    references. A shuffle-free array-fold variant was measured: faster for
+    the standalone signature query, but 4x slower for the pairs join —
+    with no exchange, Catalyst re-inlines the whole shingle->md5 subtree
+    into every join side. The explode form is the right plan for the
+    pipeline; pair it with _docs_view_parallel so the hash stage spreads
+    across cores when the input has few splits.
+
+    DuckDB (oracle): list-comprehension unnest + GROUP BY — plan shape on
+    the oracle side is irrelevant; values match by construction (same md5,
+    same lane slices)."""
+    if dialect == "spark":
+        return f"""
+          SELECT doc_id, {_minhash_exprs("spark")} FROM (
+            SELECT doc_id,
+                   explode(transform(
+                     sequence(1, greatest(length(text) - {SHINGLE - 1}, 1)),
+                     i -> md5(substring(text, i, {SHINGLE})))) AS hx
+            FROM {v})
+          GROUP BY doc_id
+        """.strip()
+    return f"""
+      WITH shingles AS ({_DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE)}),
+      hashed AS ({_HX_CTE})
+      SELECT doc_id, {_minhash_exprs("duckdb")}
+      FROM hashed GROUP BY doc_id
+    """.strip()
+
+
 @register(
     "dedup_minhash_signature",
-    f"""
-    WITH shingles AS ({_DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE)}),
-    hashed AS ({_HX_CTE})
-    SELECT doc_id, {_minhash_exprs("duckdb")}
-    FROM hashed GROUP BY doc_id
-    """,
+    _sigs_sql("duckdb"),
     "MinHash signatures over 5-char shingles (shingle→minhash stage of the "
     "near-dup pipeline); md5-portable hashes so the oracle checks VALUES",
 )
 def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    v = _docs_view(spark, sf)
-    shingles = _SPARK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE, v=v)
-    return spark.sql(f"""
-        WITH shingles AS ({shingles}),
-        hashed AS ({_HX_CTE})
-        SELECT doc_id, {_minhash_exprs("spark")}
-        FROM hashed GROUP BY doc_id
-    """)
+    v = _docs_view_parallel(spark, sf)
+    return spark.sql(_sigs_sql("spark", v))
 
 
-def _lsh_pairs_sql(dialect: str, shingles_cte: str) -> str:
+def _lsh_pairs_sql(dialect: str, v: str = "documents") -> str:
     # classic (b, r) banding with b=2 bands of r=2 rows: a candidate pair
     # must agree on BOTH minhash lanes of some band — collision probability
     # for dissimilar docs drops quadratically vs single-lane bands, which
@@ -239,11 +272,7 @@ def _lsh_pairs_sql(dialect: str, shingles_cte: str) -> str:
         for j in range(N_MINHASH // 2)
     )
     return f"""
-        WITH shingles AS ({shingles_cte}),
-        hashed AS ({_HX_CTE}),
-        sigs AS (
-          SELECT doc_id, {_minhash_exprs(dialect)}
-          FROM hashed GROUP BY doc_id),
+        WITH sigs AS ({_sigs_sql(dialect, v)}),
         bands AS ({bands})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -254,13 +283,13 @@ def _lsh_pairs_sql(dialect: str, shingles_cte: str) -> str:
 
 @register(
     "dedup_minhash_lsh_pairs",
-    _lsh_pairs_sql("duckdb", _DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE)),
+    _lsh_pairs_sql("duckdb"),
     "MinHash LSH candidate pairs: band → bucket-join (no O(n²) stage); "
     "the blocked near-dup join J7 of SURVEY.md",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    v = _docs_view(spark, sf)
-    return spark.sql(_lsh_pairs_sql("spark", _SPARK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE, v=v)))
+    v = _docs_view_parallel(spark, sf)
+    return spark.sql(_lsh_pairs_sql("spark", v))
 
 
 # --------------------------------------------------------------------------
@@ -299,7 +328,7 @@ _DUCK_TOKENS = (
     "near-dup docs land at small Hamming distance",
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    v = _docs_view(spark, sf)
+    v = _docs_view_parallel(spark, sf)
     return spark.sql(_simhash_sql("spark", _SPARK_TOKENS.format(v=v)))
 
 
@@ -342,7 +371,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cluster_oracle_sql() -> str:
-    pairs_sql = _lsh_pairs_sql("duckdb", _DUCK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE))
+    pairs_sql = _lsh_pairs_sql("duckdb")
     return f"""
         WITH RECURSIVE pairs AS ({pairs_sql}),
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -371,10 +400,8 @@ def _cluster_oracle_sql() -> str:
 def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    v = _docs_view(spark, sf)
-    pairs = spark.sql(
-        _lsh_pairs_sql("spark", _SPARK_SHINGLES.format(n=SHINGLE - 1, m=SHINGLE, v=v))
-    )
+    v = _docs_view_parallel(spark, sf)
+    pairs = spark.sql(_lsh_pairs_sql("spark", v))
     # symmetrize once and pin the edge list: every sweep re-joins it, and
     # recomputing shingle→minhash→band per sweep would dominate the loop
     edges = (
