@@ -109,6 +109,12 @@ def run_queries_bench(spark, sf_dir: str) -> dict:
 
     qs = entrymod.queries()
     out = {}
+    # warm the job machinery and the parquet datasource path first: the
+    # first action of a session pays ~4.5 s of init, and the first parquet
+    # read another ~2 s — without this it all lands in the first query's
+    # number (a1 measured ~6 s cold vs ~1 s warm)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.monotonic()

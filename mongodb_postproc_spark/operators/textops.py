@@ -425,21 +425,19 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("dst", "doc_id")
         )
-        new_labels = (
+        # carry the pre-sweep label through so convergence detection is a
+        # filter over the checkpointed result, not a second join per sweep
+        stepped = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("comp").alias("old_comp"),
                 F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint()  # cut lineage growth across sweeps
+            .localCheckpoint()  # materialize + cut lineage growth across sweeps
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.comp <> o.comp")
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("comp < old_comp").count()
+        labels = stepped.select("doc_id", "comp")
         if changed == 0:
             break
     return labels.select(
