@@ -207,14 +207,25 @@ def main_scaling():
     results: dict[str, list] = {}
     for rep in range(repeats):
         for cores in ladder:
-            out = subprocess.run(
-                [sys.executable, os.path.join(here, "bench.py"), "--crawl-run", str(cores),
-                 str(SCALING_URLS)],
-                capture_output=True, text=True, check=True,
-            )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            results.setdefault(f"local[{cores}]", []).append(json.loads(line))
-            print(f"[scaling] rep {rep} local[{cores}]: {line}", file=sys.stderr, flush=True)
+            # a leg is a subprocess (own JVM); one transient failure must
+            # not void the whole ladder — log stderr, retry once, then move
+            # on (the leg just contributes fewer reps to best-of)
+            for attempt in range(2):
+                out = subprocess.run(
+                    [sys.executable, os.path.join(here, "bench.py"), "--crawl-run",
+                     str(cores), str(SCALING_URLS)],
+                    capture_output=True, text=True,
+                )
+                if out.returncode == 0:
+                    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+                    results.setdefault(f"local[{cores}]", []).append(json.loads(line))
+                    print(f"[scaling] rep {rep} local[{cores}]: {line}",
+                          file=sys.stderr, flush=True)
+                    break
+                print(f"[scaling] rep {rep} local[{cores}] attempt {attempt} FAILED "
+                      f"(rc={out.returncode}); stderr tail:\n"
+                      + "\n".join(out.stderr.splitlines()[-15:]),
+                      file=sys.stderr, flush=True)
 
     # best-of-N per leg: identical deterministic input; wall-clock noise on
     # this shared VM is one-sided (steal/interference only ever slows a run)
@@ -223,22 +234,36 @@ def main_scaling():
 
     pairs = {}
     for n in ladder:
-        if 4 * n in ladder:
+        if 4 * n in ladder and results.get(f"local[{n}]") and results.get(f"local[{4 * n}]"):
             eff = round(best(4 * n) / (4.0 * best(n)), 3)
             pairs[f"{n}->{4*n}"] = {
                 "cores_N": n, "cores_4N": 4 * n,
                 "urls_per_sec_N": best(n), "urls_per_sec_4N": best(4 * n),
                 "efficiency": eff, "pass_0_8": eff >= 0.8,
             }
+    doubling = {}
+    for a, b in zip(ladder, ladder[1:]):
+        if b == 2 * a and results.get(f"local[{a}]") and results.get(f"local[{b}]"):
+            doubling[f"{a}->{b}"] = round(best(b) / (2.0 * best(a)), 3)
     pkey = f"{primary[0]}->{primary[1]}"
     summary = {
         "n_urls": SCALING_URLS,
         "primary_pair": pkey,
         **pairs[pkey],
         "all_pairs": pairs,
+        "doubling_efficiency": doubling,
         "runs": results,
     }
-    with open(os.path.join(here, "BENCH_SCALING.json"), "w") as f:
+    # carry the hand-measured host calibration (pure-CPU spin ceiling) and
+    # analysis notes forward across rewrites
+    path = os.path.join(here, "BENCH_SCALING.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for k in ("host_thread_ceiling", "notes"):
+            if k in prev:
+                summary[k] = prev[k]
+    with open(path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 

@@ -495,3 +495,54 @@ def _corpus_pipeline_sql(dialect: str) -> str:
 def pipeline_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf)
     return spark.sql(_corpus_pipeline_sql("spark").format(v=v))
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex tokenizer (the non-whitespace token counter of a
+# pretraining pipeline; complements text_token_stats' whitespace count)
+# --------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset both
+# regex engines (Java on Spark, RE2 on DuckDB) implement identically:
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs.
+_BPE_PAT = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def _bpe_tokens_sql(dialect: str, v: str = "documents") -> str:
+    if dialect == "spark":
+        # group 0 = the whole match (the pattern has no capture groups;
+        # Spark's default group index is 1, DuckDB's is 0)
+        pat = _BPE_PAT.replace("\\", "\\\\").replace("'", "\\'")
+        pieces = f"regexp_extract_all(text, '{pat}', 0)"
+        ws = "size(split(trim(text), '\\\\s+'))"
+        npieces = f"size({pieces})"
+        joined = f"array_join({pieces}, chr(1))"
+        src = v
+    else:
+        pat = _BPE_PAT.replace("'", "''")
+        pieces = f"regexp_extract_all(text, '{pat}')"
+        ws = r"len(regexp_split_to_array(trim(text), '\s+'))"
+        npieces = f"len({pieces})"
+        joined = f"array_to_string({pieces}, chr(1))"
+        src = "documents"
+    return f"""
+        SELECT doc_id,
+               CAST({npieces} AS BIGINT) AS n_bpe_tokens,
+               CAST({npieces} - {ws} AS BIGINT) AS n_subword_splits,
+               md5({joined}) AS token_stream_hash
+        FROM {src}
+    """
+
+
+@register(
+    "text_token_bpe_regex",
+    _bpe_tokens_sql("duckdb"),
+    "BPE-ish regex token counting (GPT-2-style pre-tokenizer, lookahead-free "
+    "subset): piece count, subword-split surplus over whitespace tokens, and "
+    "an md5 of the exact piece stream — the oracle checks the token PIECES "
+    "agree across engines, not just the counts",
+)
+def text_token_bpe_regex(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_bpe_tokens_sql("spark", v))
