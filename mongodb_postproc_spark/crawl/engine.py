@@ -808,12 +808,30 @@ class CrawlEngine:
                 self.catalog.drop(name)
 
     # ---------------------------------------------------------------- run
-    def run(self, resume: bool = False) -> list[RoundStats]:
-        state = self.load_state() if resume else None
+    def run(self, resume: bool | None = None) -> list[RoundStats]:
+        """Run rounds until ``max_rounds`` or the frontier drains.
+
+        ``resume=None`` (default): continue from the workdir's committed
+        state if one exists, else initialize fresh — so constructing an
+        engine over a partially-run workdir and calling ``run()`` always
+        yields the same fetch log as one uninterrupted run.
+        ``resume=True``: same, but explicit (kept for callers that want to
+        assert continuation). ``resume=False``: force a fresh crawl — any
+        engine-produced tables and state in the workdir are dropped first,
+        never appended to (a stale ``pages`` table would otherwise
+        duplicate fetch-log rows).
+        """
+        state = self.load_state() if resume is not False else None
         if state is None:
+            for name in ENGINE_TABLES:
+                if self.catalog.exists(name):
+                    self.catalog.drop(name)
+            p = self._state_path()
+            if os.path.exists(p):
+                os.remove(p)
             self.init_crawl()
             state = self.load_state()
-        elif resume:
+        else:
             self._reconcile_to_state(state)
         all_stats: list[RoundStats] = []
         while state["round_completed"] + 1 < self.cfg.max_rounds:
@@ -830,11 +848,15 @@ class CrawlEngine:
     # (the bytes column is written once at fetch time, never re-serialized).
     # Workdirs written by the pre-`pages` format kept standalone fetch_log /
     # images tables; if present they are unioned in so history survives.
+    # A crawl that never fetched (n_seeds=0, or everything robots-blocked)
+    # has no `pages` table: the projections are then empty, not an error.
+    def _pages_or_empty(self) -> DataFrame:
+        if self.catalog.exists("pages"):
+            return self.catalog.read("pages", self.spark)
+        return self.spark.createDataFrame([], FETCH_SCHEMA)
+
     def fetch_log(self) -> DataFrame:
-        df = (
-            self.catalog.read("pages", self.spark)
-            .select("seq", "url_canon", "host", "round")
-        )
+        df = self._pages_or_empty().select("seq", "url_canon", "host", "round")
         if self.catalog.exists("fetch_log"):
             legacy = self.catalog.read("fetch_log", self.spark).select(
                 "seq", "url_canon", "host", "round"
@@ -843,11 +865,13 @@ class CrawlEngine:
         return df.orderBy("seq")
 
     def seen_set(self) -> DataFrame:
-        return self.catalog.read("seen", self.spark)
+        if self.catalog.exists("seen"):
+            return self.catalog.read("seen", self.spark)
+        return self.spark.createDataFrame([], "url_canon string, bucket int")
 
     def images(self) -> DataFrame:
         cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url_canon", "seq"]
-        df = self.catalog.read("pages", self.spark).select(*cols)
+        df = self._pages_or_empty().select(*cols)
         if self.catalog.exists("images"):
             df = self.catalog.read("images", self.spark).select(*cols).unionByName(df)
         return df

@@ -72,3 +72,37 @@ def test_orphan_snapshots_from_crashed_round_are_ignored(spark, tmp_path):
     assert {r["url_canon"] for r in eng.seen_set().collect()} == {
         r["url_canon"] for r in eng2.seen_set().collect()
     }
+
+
+def test_bare_run_on_partial_workdir_resumes(spark, tmp_path):
+    """Consumer contract: constructing an engine over a half-run workdir and
+    calling run() with no arguments continues the crawl — it must never
+    re-init over committed state (which would append duplicate fetch-log
+    rows to the pages table)."""
+    wd = str(tmp_path / "partial")
+    one_round = CrawlConfig(n_seeds=6, max_rounds=1, per_host_cap=4, web=CFG.web)
+    CrawlEngine(spark, one_round, wd).run()
+    eng = CrawlEngine(spark, CFG, wd)
+    eng.run()
+    assert _fetch_order(eng) == simulate_crawl(CFG).fetch_order
+
+
+def test_forced_fresh_run_resets_dirty_workdir(spark, tmp_path):
+    """run(resume=False) on a workdir holding a finished crawl drops the
+    engine tables first: the result equals a one-shot run, with no
+    duplicated seq values from a stale pages table."""
+    wd = str(tmp_path / "dirty")
+    CrawlEngine(spark, CFG, wd).run()
+    eng = CrawlEngine(spark, CFG, wd)
+    eng.run(resume=False)
+    assert _fetch_order(eng) == simulate_crawl(CFG).fetch_order
+
+
+def test_empty_crawl_projections_are_empty_not_errors(spark, tmp_path):
+    """n_seeds=0 never creates a pages table; the read projections must
+    return empty typed DataFrames rather than raise."""
+    cfg0 = CrawlConfig(n_seeds=0, max_rounds=1, per_host_cap=1, web=CFG.web)
+    eng = CrawlEngine(spark, cfg0, str(tmp_path / "empty"))
+    eng.run()
+    assert eng.fetch_log().count() == 0
+    assert eng.images().count() == 0
