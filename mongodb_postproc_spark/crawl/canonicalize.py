@@ -20,9 +20,18 @@ chain of regex rewrites):
      deeper traversals than any generated URL; both implementations share
      the bound so they agree by construction).
   7. sort query parameters bytewise; drop an empty query.
+  8. percent-encoding normalization (RFC 3986 §2.3/§6.2.2.2): decode
+     ``%XX`` escapes of unreserved characters (ALPHA / DIGIT / - . _ ~) and
+     uppercase the hex of every escape that stays — so ``%7Euser``,
+     ``%7euser`` and ``~user`` share one seen-set key. Escapes of reserved
+     characters are never decoded (decoding ``%2F`` would change the path
+     structure), and a ``%`` not followed by two hex digits passes through
+     untouched. Applied to the whole URL after fragment strip — the scheme
+     cannot contain ``%``, and only unreserved characters (never
+     delimiters) are ever decoded, so parsing is unaffected.
 
-Percent-escape re-encoding and IDN are out of scope (the synthetic web is
-ASCII); noted here so the gap is explicit.
+IDN (punycode) host normalization remains out of scope (the synthetic web
+is ASCII hosts); noted here so the gap is explicit.
 """
 
 from __future__ import annotations
@@ -36,6 +45,25 @@ MAX_DOT_DEPTH = 8
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
 
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+# RFC 3986 unreserved: ALPHA / DIGIT / "-" / "." / "_" / "~" (ASCII codes)
+_UNRESERVED_CODES = frozenset(
+    list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
+    + list(range(0x30, 0x3A)) + [0x2D, 0x2E, 0x5F, 0x7E]
+)
+
+
+def _pct_normalize_py(s: str) -> str:
+    """Decode unreserved %XX escapes, uppercase the rest (python twin of
+    the column expression in canonical_url_col — byte-for-byte agreement
+    is property-tested over escaped corpora)."""
+    def repl(m: re.Match) -> str:
+        code = int(m.group(1), 16)
+        return chr(code) if code in _UNRESERVED_CODES else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s) if "%" in s else s
+
 
 def canonicalize_py(url: str | None) -> str | None:
     """Pure-Python canonicalizer (oracle side)."""
@@ -43,6 +71,7 @@ def canonicalize_py(url: str | None) -> str | None:
         return None
     u = url.strip()
     u = re.sub(r"#.*$", "", u)
+    u = _pct_normalize_py(u)
     m = _SCHEME_RE.match(u)
     if not m:
         return None
@@ -80,6 +109,42 @@ def canonicalize_py(url: str | None) -> str | None:
     return f"{scheme}://{authority}{path}"
 
 
+def _pct_normalize_col(u: Column) -> Column:
+    """Column-expression twin of :func:`_pct_normalize_py` — pure
+    ``pyspark.sql.functions`` (stays inside whole-stage codegen, no Python
+    in the hot link-extraction path).
+
+    Split on ``%`` and fold: the first piece never follows an escape; each
+    later piece starts where an escape began. A piece opening with two hex
+    digits decodes (unreserved, tested numerically on the code point so no
+    non-ASCII ``char()`` round-trip is ever consulted) or re-emits with
+    uppercased hex; anything else gets its ``%`` back verbatim. Rows
+    without ``%`` short-circuit through the CASE and never pay the fold."""
+
+    def piece(p: Column) -> Column:
+        hex2 = F.upper(F.substring(p, 1, 2))
+        valid = p.rlike("^[0-9A-Fa-f]{2}")
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | ((code >= 48) & (code <= 57))
+            | code.isin(45, 46, 95, 126)
+        )
+        rest = F.substring(p, 3, F.length(p))
+        return (
+            F.when(~valid, F.concat(F.lit("%"), p))
+            .when(unreserved, F.concat(F.char(code), rest))
+            .otherwise(F.concat(F.lit("%"), hex2, rest))
+        )
+
+    parts = F.split(u, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    norm = F.concat(head, F.aggregate(tail, F.lit(""), lambda acc, p: F.concat(acc, piece(p))))
+    return F.when(F.contains(u, F.lit("%")), norm).otherwise(u)
+
+
 def canonical_url_col(url: Column) -> Column:
     """Spark column-expression canonicalizer (engine side).
 
@@ -97,6 +162,7 @@ def canonical_url_col(url: Column) -> Column:
     tests in tests/test_canonicalize.py).
     """
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    u = _pct_normalize_col(u)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
     authority = (

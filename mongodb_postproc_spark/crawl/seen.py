@@ -232,6 +232,52 @@ def load_bucket_blooms(member_dirs: list[str], bucket: int) -> list[Bloom]:
     return merged
 
 
+_FILE_URLS_CACHE: dict = {}
+
+
+def _urlset_from_file(path: str) -> frozenset:
+    key = (path, os.path.getmtime(path))
+    if key not in _FILE_URLS_CACHE:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(path, columns=["url_canon"]).column("url_canon")
+        _FILE_URLS_CACHE[key] = frozenset(col.to_pylist())
+    return _FILE_URLS_CACHE[key]
+
+
+_URLSET_CACHE: dict = {}
+
+
+def load_bucket_urlset(member_dirs: list[str], bucket: int) -> frozenset:
+    """Exact seen-URL set for ONE bucket slice of the bucket-partitioned
+    `seen` table (``snap=k/__pdir=<bucket>/``) — the executor-side exact
+    confirmer behind the Bloom probe. Loaded the same way as the bloom
+    slices: each task reads only the bucket dirs of rows it holds, straight
+    from parquet, cached per python worker (file-level frozensets survive
+    round-over-round appends; only the round's new file is parsed).
+
+    This is what removes the full-`seen` shuffle from the round plan: a
+    left-anti join against the 10^10-row seen table would sort-merge-shuffle
+    the whole right side every round, whereas membership against the aligned
+    slice touches O(|seen|/n_buckets) rows per task — and only for buckets
+    that actually produced Bloom-positive candidates. At target scale
+    n_buckets grows with |seen| (the same sizing argument as the bloom
+    slices), keeping any one task's working set bounded."""
+    files: list[str] = []
+    for d in member_dirs:
+        files.extend(_parquet_files(os.path.join(d, f"__pdir={bucket}")))
+    key = (bucket, tuple((f, os.path.getmtime(f)) for f in files))
+    if key in _URLSET_CACHE:
+        return _URLSET_CACHE[key]
+    merged: frozenset = frozenset().union(*(_urlset_from_file(f) for f in files)) \
+        if files else frozenset()
+    if len(_URLSET_CACHE) > 1024:  # bound worker memory across long runs
+        _URLSET_CACHE.clear()
+        _FILE_URLS_CACHE.clear()
+    _URLSET_CACHE[key] = merged
+    return merged
+
+
 def contains_any(blooms: list[Bloom], urls: pd.Series) -> np.ndarray:
     if not blooms:
         return np.zeros(len(urls), dtype=bool)

@@ -29,8 +29,13 @@ from mongodb_postproc_spark.datagen.web import robots_blocked
 _SCHEMES = ["http", "Http", "HTTP", "https", "HtTpS", "ftp", "x+y.z-1"]
 _HOSTS = ["Host1.Test", "h", "A.B.C.test", "h-x.y", "host10.test"]
 _PORTS = ["", ":80", ":443", ":8080", ":0"]
-_SEGS = ["a", "b", "P7", ".", "..", "", "x.y", "seg-1", "*", "%20"]
-_PARAMS = ["a=1", "b=2", "z", "a=", "m=3", "B=9", "a=1"]
+_SEGS = ["a", "b", "P7", ".", "..", "", "x.y", "seg-1", "*", "%20",
+         # percent-escape corpus: unreserved decodes (%7E/%41/%61), reserved
+         # keeps + hex uppercasing (%2f), double-escape (%2541), dangling /
+         # invalid escapes (%, %4, %zz), mid-segment escapes
+         "%7Euser", "%7euser", "%41", "%61b", "%2F", "%2f", "%2541",
+         "%", "%4", "%zz", "a%5Fb", "%C3%A9", "p%%41"]
+_PARAMS = ["a=1", "b=2", "z", "a=", "m=3", "B=9", "a=1", "x=%7E1", "a=%2Fb", "k=%6a"]
 
 
 def _random_url(rng: random.Random) -> str:
