@@ -65,7 +65,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..datagen.images import decode_image, make_image, make_images, psnr
+from ..datagen.images import decode_image, make_images
 from ..datagen.web import CrawlConfig, SyntheticWeb
 from ..tables import TableCatalog
 from .canonicalize import canonical_url_col, host_col
@@ -125,6 +125,8 @@ def _fetch_factory(cfg: CrawlConfig, rnd: int):
     /root/reference/findMissingPages.py:29-35, and of the CIF-payload
     decode U1 — here the payload is the image)."""
 
+    img_cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
     def fetch(batches):
         web = SyntheticWeb(cfg.web)
         from pyspark import TaskContext
@@ -133,24 +135,24 @@ def _fetch_factory(cfg: CrawlConfig, rnd: int):
         for pdf in batches:
             urls = list(pdf["url_canon"])
             imgs = make_images(urls)  # batch-vectorized payload synthesis
-            recs = [
-                {
-                    "seq": int(seq),
-                    "url_canon": url,
-                    "host": host,
-                    "depth": int(depth),
-                    "round": rnd,
-                    "links": web.links_for(url),
-                    "pid": pid,
-                    **img,
-                }
-                for seq, url, host, depth, img in zip(
-                    pdf["seq"], urls, pdf["host"], pdf["depth"], imgs
-                )
-            ]
-            yield pd.DataFrame(recs) if recs else pd.DataFrame(
+            # columnar assembly: carry the input columns through as arrays
+            # and splice the payload record fields in as per-column lists —
+            # no per-row dict is ever built (the only per-row python left
+            # is links_for, the stand-in for per-page HTML parsing)
+            out = {
+                "seq": pdf["seq"].to_numpy(),
+                "url_canon": pdf["url_canon"].to_numpy(),
+                "host": pdf["host"].to_numpy(),
+                "depth": pdf["depth"].to_numpy(),
+                "round": rnd,
+                "links": [web.links_for(u) for u in urls],
+                "pid": pid,
+            }
+            for c in img_cols:
+                out[c] = [im[c] for im in imgs]
+            yield pd.DataFrame(out) if len(pdf) else pd.DataFrame(
                 columns=["seq", "url_canon", "host", "depth", "round", "links", "pid",
-                         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+                         *img_cols]
             )
 
     return fetch
@@ -939,28 +941,67 @@ def validate_images(images: DataFrame) -> DataFrame:
     went through real quantization, so decode != raw — plus caption string
     equality and phash equality. Arrow-batched; the reference records are
     regenerated per batch (one vectorized make_images call), only the codec
-    inflate runs per row. The tolerance-equality pattern of
-    /root/reference/compositionMatcher.py:60 applied to pixels.
+    inflate runs per row — the pixel compares (PSNR / exact equality) run
+    on per-(h,w) numpy stacks, the caption/phash/fmt compares on whole
+    pandas columns (the stacking pattern of mm_decode_metadata). The
+    tolerance-equality pattern of /root/reference/compositionMatcher.py:60
+    applied to pixels.
     Returns rows that VIOLATE an invariant (empty DataFrame == all good)."""
 
+    import numpy as np
+
     def check(batches):
+        cols = ["image_id", "url_canon", "psnr"]
         for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
             refs = make_images(list(pdf["url_canon"]), return_raw=True)
-            bad = []
-            for (_, row), ref in zip(pdf.iterrows(), refs):
-                got = decode_image(row["bytes"], row["fmt"])
-                p = psnr(ref["raw"], got)
-                ok = (
-                    (p >= 40.0 if row["fmt"] == "jpeg" else bool((ref["raw"] == got).all()))
-                    and row["caption"] == ref["caption"]
-                    and int(row["phash"]) == ref["phash"]
-                    and row["fmt"] == ref["fmt"]
-                )
-                if not ok:
-                    bad.append({"image_id": row["image_id"], "url_canon": row["url_canon"],
-                                "psnr": float(p)})
-            yield pd.DataFrame(bad) if bad else pd.DataFrame(
-                columns=["image_id", "url_canon", "psnr"]
+
+            def _dec(b, f):
+                # an undecodable payload (corrupt bytes, wrong fmt label)
+                # is a violation, not a crash of the whole checker
+                try:
+                    return decode_image(b, f)
+                except Exception:
+                    return None
+
+            decs = [_dec(b, f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+            n = len(pdf)
+            pvals = np.full(n, np.inf)
+            pix_ok = np.zeros(n, dtype=bool)
+            is_jpeg = (pdf["fmt"] == "jpeg").to_numpy()
+            shapes = np.array(
+                [d.shape[:2] if d is not None and d.shape == r["raw"].shape else (-1, -1)
+                 for d, r in zip(decs, refs)]
             )
+            for hw in {tuple(s) for s in shapes}:
+                (idx,) = np.nonzero((shapes == hw).all(axis=1))
+                if hw == (-1, -1):  # shape mismatch: unconditional violation
+                    pvals[idx] = -1.0
+                    continue
+                got = np.stack([decs[i] for i in idx]).astype(np.float64)
+                raw = np.stack([refs[i]["raw"] for i in idx]).astype(np.float64)
+                mse = ((got - raw) ** 2).mean(axis=(1, 2, 3))
+                with np.errstate(divide="ignore"):
+                    pvals[idx] = np.where(
+                        mse == 0, np.inf, 10.0 * np.log10(255.0**2 / mse)
+                    )
+                pix_ok[idx] = np.where(
+                    is_jpeg[idx], pvals[idx] >= 40.0, mse == 0
+                )
+            meta_ok = (
+                (pdf["caption"].to_numpy() == np.array([r["caption"] for r in refs]))
+                & (pdf["phash"].to_numpy() == np.array([r["phash"] for r in refs]))
+                & (pdf["fmt"].to_numpy() == np.array([r["fmt"] for r in refs]))
+            )
+            bad = ~(pix_ok & meta_ok)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy()[bad],
+                    "url_canon": pdf["url_canon"].to_numpy()[bad],
+                    "psnr": pvals[bad],
+                }
+            ) if bad.any() else pd.DataFrame(columns=cols)
 
     return images.mapInPandas(check, "image_id string, url_canon string, psnr double")

@@ -103,3 +103,32 @@ def test_batch_invariance():
     shuffled = make_images(urls[::-1])[::-1]
     for b, s, sh in zip(batch, singles, shuffled):
         assert b == s == sh
+
+
+def test_validate_images_flags_tampered_rows(spark):
+    """The invariant checker is non-vacuous in BOTH directions: pristine
+    rows pass, and each kind of tamper (payload bytes, caption, phash,
+    format relabel) is flagged — covering the vectorized per-(h,w)-stack
+    compare paths of validate_images."""
+    import pandas as pd
+
+    from mongodb_postproc_spark.crawl.engine import validate_images
+    from mongodb_postproc_spark.datagen.images import make_images
+
+    urls = [f"http://host{i % 3}.test/p/{i}" for i in range(24)]
+    recs = make_images(urls)
+    rows = [
+        {"url_canon": u, "seq": i, **r} for i, (u, r) in enumerate(zip(urls, recs))
+    ]
+    # tamper four rows, one invariant each
+    rows[1]["bytes"] = make_images(["http://other.test/p/999"])[0]["bytes"]
+    rows[2]["caption"] = "tampered caption"
+    rows[3]["phash"] = rows[3]["phash"] ^ 0xFF
+    rows[5]["fmt"] = "jpeg" if rows[5]["fmt"] == "png" else "png"
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "url_canon string, seq long, image_id string, bytes binary, w int, "
+        "h int, fmt string, caption string, phash long",
+    )
+    bad = {r["url_canon"] for r in validate_images(df).collect()}
+    assert bad == {urls[1], urls[2], urls[3], urls[5]}, bad
