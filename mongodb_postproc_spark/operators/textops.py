@@ -337,15 +337,25 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _jaccard_sql(dialect: str, tokens_cte: str, max_doc: int) -> str:
+def _jaccard_sql(dialect: str, tokens_cte: str, v: str = "documents") -> str:
+    """Exact token-set Jaccard computed ONLY for the MinHash-LSH candidate
+    pairs — the confirmer the LSH stage promises (module docstring). The
+    candidate list bounds the intersection work: each pair expands by
+    |tokens(doc_a)| and joins doc_b's token set on (doc_id, token), so cost
+    is O(Σ_cand |doc|) — there is no token-token self-join anywhere, which
+    at corpus scale would detonate on stopwords (every doc pairs with every
+    doc through 'the'). No doc-id cap."""
     return f"""
-        WITH toks AS ({tokens_cte}),
-        tsets AS (SELECT DISTINCT doc_id, token FROM toks WHERE doc_id < {max_doc}),
+        WITH cand AS ({_lsh_pairs_sql(dialect, v)}),
+        toks AS ({tokens_cte}),
+        tsets AS (SELECT DISTINCT doc_id, token FROM toks),
         sizes AS (SELECT doc_id, count(*) AS n FROM tsets GROUP BY doc_id),
         inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM tsets a JOIN tsets b ON a.token = b.token AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN tsets a ON a.doc_id = c.doc_a
+          JOIN tsets b ON b.doc_id = c.doc_b AND b.token = a.token
+          GROUP BY c.doc_a, c.doc_b)
         SELECT doc_a, doc_b,
                round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
         FROM inter JOIN sizes sa ON sa.doc_id = doc_a
@@ -356,13 +366,14 @@ def _jaccard_sql(dialect: str, tokens_cte: str, max_doc: int) -> str:
 
 @register(
     "dedup_ngram_jaccard",
-    _jaccard_sql("duckdb", _DUCK_TOKENS, 60),
-    "Exact token-set Jaccard ≥0.5 pairs (the exact confirmer behind LSH "
-    "candidates; tolerance-equality pattern of compositionMatcher.py:60)",
+    _jaccard_sql("duckdb", _DUCK_TOKENS),
+    "Exact token-set Jaccard ≥0.5 over the MinHash-LSH candidate pairs "
+    "(the exact confirmer behind LSH; no token self-join, no doc cap; "
+    "tolerance-equality pattern of compositionMatcher.py:60)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    v = _docs_view(spark, sf)
-    return spark.sql(_jaccard_sql("spark", _SPARK_TOKENS.format(v=v), 60))
+    v = _docs_view_parallel(spark, sf)
+    return spark.sql(_jaccard_sql("spark", _SPARK_TOKENS.format(v=v), v))
 
 
 # --------------------------------------------------------------------------
