@@ -218,7 +218,9 @@ def main_scaling():
                 )
                 if out.returncode == 0:
                     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-                    results.setdefault(f"local[{cores}]", []).append(json.loads(line))
+                    rec = json.loads(line)
+                    rec["commit"] = _git_head()
+                    results.setdefault(f"local[{cores}]", []).append(rec)
                     print(f"[scaling] rep {rep} local[{cores}]: {line}",
                           file=sys.stderr, flush=True)
                     break
@@ -232,11 +234,30 @@ def main_scaling():
     print(json.dumps(summary))
 
 
+def _git_head() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return out.stdout.strip() if out.returncode == 0 else "unknown"
+    except OSError:
+        return "unknown"
+
+
 def _scaling_summary(results: dict[str, list], primary: tuple[int, int]) -> dict:
     # best-of-N per leg: identical deterministic input; wall-clock noise on
     # this shared VM is one-sided (steal/interference only ever slows a run)
     def best(cores: int) -> float:
         return max(r["urls_per_sec"] for r in results[f"local[{cores}]"])
+
+    def median(cores: int) -> float:
+        import statistics
+
+        return round(statistics.median(
+            r["urls_per_sec"] for r in results[f"local[{cores}]"]
+        ), 1)
 
     cores_present = sorted(int(k[len("local["):-1]) for k in results if results[k])
     pairs = {}
@@ -247,20 +268,33 @@ def _scaling_summary(results: dict[str, list], primary: tuple[int, int]) -> dict
                 "cores_N": n, "cores_4N": 4 * n,
                 "urls_per_sec_N": best(n), "urls_per_sec_4N": best(4 * n),
                 "efficiency": eff, "pass_0_8": eff >= 0.8,
+                # median-of-reps alongside best-of: kills the one-sided-noise
+                # debate when the two agree (protocol in BASELINE.md)
+                "urls_per_sec_N_median": median(n),
+                "urls_per_sec_4N_median": median(4 * n),
+                "efficiency_median": round(median(4 * n) / (4.0 * median(n)), 3),
+                "reps_N": len(results[f"local[{n}]"]),
+                "reps_4N": len(results[f"local[{4 * n}]"]),
             }
     doubling = {}
     for a in cores_present:
         if 2 * a in cores_present:
             doubling[f"{a}->{2*a}"] = round(best(2 * a) / (2.0 * best(a)), 3)
     pkey = f"{primary[0]}->{primary[1]}"
-    return {
+    summary = {
         "n_urls": SCALING_URLS,
         "primary_pair": pkey,
-        **pairs[pkey],
         "all_pairs": pairs,
         "doubling_efficiency": doubling,
         "runs": results,
     }
+    if pkey in pairs:
+        summary.update(pairs[pkey])
+    else:
+        # a fully-failed primary leg must not void the measured legs:
+        # report what exists and flag the gap instead of raising
+        summary["primary_pair_missing"] = True
+    return summary
 
 
 def _write_scaling(here: str, summary: dict):
@@ -293,6 +327,18 @@ def main_scaling_leg(cores: int, reps: int):
             f"SCALING_URLS={SCALING_URLS}: refusing to merge different inputs"
         )
     results = prev["runs"]
+    # best-of legs must never mix measurements of different code: every rep
+    # is stamped with the git HEAD it ran at, and merging into a ladder
+    # recorded at another commit is refused (override explicitly after
+    # verifying the crawl path is unchanged between the commits)
+    head = _git_head()
+    prev_commits = {r.get("commit", "unstamped") for rs in results.values() for r in rs}
+    if prev_commits - {head} and os.environ.get("SPARK_GRAFT_SCALING_ALLOW_MIXED") != "1":
+        raise SystemExit(
+            f"recorded ladder has reps from commits {sorted(prev_commits)}, HEAD is "
+            f"{head}: refusing to merge cross-commit reps (re-run the full ladder, "
+            f"or set SPARK_GRAFT_SCALING_ALLOW_MIXED=1 if the crawl path is unchanged)"
+        )
     primary = tuple(int(c) for c in prev["primary_pair"].split("->"))
     for rep in range(reps):
         out = subprocess.run(
@@ -306,7 +352,9 @@ def main_scaling_leg(cores: int, reps: int):
                   file=sys.stderr, flush=True)
             continue
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results.setdefault(f"local[{cores}]", []).append(json.loads(line))
+        rec = json.loads(line)
+        rec["commit"] = head
+        results.setdefault(f"local[{cores}]", []).append(rec)
         print(f"[scaling-leg] rep {rep} local[{cores}]: {line}",
               file=sys.stderr, flush=True)
         # re-summarize after every rep so an interrupted run still lands
