@@ -476,6 +476,11 @@ class CrawlEngine:
     # compaction's counterpart for the bloom state).
     SEEN_COMPACT_EPOCHS = 8
 
+    # Fold frontier delete files into the data when they exceed ~2x the
+    # live row count AND this floor (folding a tiny table is pure overhead;
+    # tests lower the floor to exercise the policy at depth).
+    FRONTIER_COMPACT_MIN = 100_000
+
     def compact_seen_state(self) -> bool:
         """Rewrite seen_state with each bucket's epoch rows OR-folded into
         one bloom row per geometry (seen.fold_bucket_state). Semantically a
@@ -774,7 +779,7 @@ class CrawlEngine:
         # compaction policy: fold delete files into the data when they
         # exceed ~2x the live frontier (Iceberg maintenance, amortized)
         frontier_deletes = state.get("frontier_deletes", 0) + n_fetched
-        if frontier_deletes > max(2 * frontier_after, 100_000):
+        if frontier_deletes > max(2 * frontier_after, self.FRONTIER_COMPACT_MIN):
             self.catalog.compact("frontier", self.spark)
             frontier_deletes = 0
             tm.mark("compact_frontier")
