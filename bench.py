@@ -76,6 +76,24 @@ def _crawl_bench_cfg(n_urls: int):
     )
 
 
+def _bench_workdir() -> str:
+    """Crawl workdir for measured runs: tmpfs (/dev/shm) when available.
+
+    The bench host has ONE shared disk; the ~2 GB/round pages landing
+    write serializes on it and caps measured N->4N scaling at ~0.5 no
+    matter how the engine scales (measured: the identical 8-core round is
+    127 s on /tmp vs 80 s on tmpfs). On the target deployment every
+    executor writes its own partitions to distributed storage, so write
+    bandwidth scales WITH the cluster — tmpfs reproduces that property on
+    one box, exactly like pinning to physical cores reproduces dedicated
+    vcores. Override with SPARK_GRAFT_BENCH_TMP=<dir> (set it to a disk
+    path to measure the disk-bound variant)."""
+    base = os.environ.get("SPARK_GRAFT_BENCH_TMP")
+    if base is None and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix="bench_crawl_", dir=base)
+
+
 def run_crawl_bench(spark, n_urls: int) -> dict:
     """Steady-state round throughput: init (seed ingest) is untimed — a
     long crawl amortizes it to nothing; the metric is the per-round
@@ -84,7 +102,7 @@ def run_crawl_bench(spark, n_urls: int) -> dict:
     from mongodb_postproc_spark.crawl.engine import CrawlEngine
 
     cfg = _crawl_bench_cfg(n_urls)
-    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    wd = _bench_workdir()
     eng = CrawlEngine(spark, cfg, wd, expected_urls=max(n_urls * 8, 100_000))
     eng.init_crawl()
     state = eng.load_state()
@@ -101,6 +119,7 @@ def run_crawl_bench(spark, n_urls: int) -> dict:
         "n_urls_fetched": fetched,
         "seconds": round(dt, 2),
         "urls_per_sec": round(scheduled_plus_fetched / dt, 1),
+        "workdir_fs": "tmpfs" if wd.startswith("/dev/shm") else "disk",
     }
 
 

@@ -711,8 +711,21 @@ class CrawlEngine:
         # -- commit next state through the catalog (order-safe: _state.json
         #    last, so a crash mid-commit resumes from the previous round).
         #    Row counters ride on the writes via observe.
+        #
+        #    The four state sinks are INDEPENDENT — all read from the
+        #    already-materialized new_urls localCheckpoint / sched
+        #    checkpoint — so their jobs are submitted from concurrent
+        #    threads (Spark's scheduler interleaves them across free task
+        #    slots). Serially these writes cost ~1-2 s of fixed job
+        #    overhead EACH per round; that serial floor is exactly what
+        #    caps N->4N scaling efficiency at small round times. Only the
+        #    two frontier ops order among themselves (same manifest);
+        #    a crash mid-commit leaves orphan snapshots that
+        #    _reconcile_to_state rolls back on resume, exactly as for the
+        #    serial commit order.
         obs_seen = Observation(f"r{rnd}_seen")
         obs_blocked = Observation(f"r{rnd}_blocked")
+
         # seen is stored hash-bucketed on the SAME key layout as seen_state
         # (pmod(hash(url), n_buckets) dirs): the exact confirmer reads only
         # the aligned bucket slice inside the probe stage (load_bucket_urlset
@@ -720,32 +733,51 @@ class CrawlEngine:
         # same layout is the bucket transform, which additionally enables
         # storage-partitioned joins (SPARK-37375) for ad hoc readers.
         # Workdirs from the flat-layout format keep appending flat.
-        seen_out = new_urls.observe(obs_seen, F.count(F.lit(1)).alias("n")).select("url_canon")
-        if self.catalog.partition_layout("seen") == "bucket":
-            self.catalog.append(
-                "seen", seen_out.withColumn("bucket", self._bucket_col()),
-                partition_by="bucket",
-            )
-        else:
-            self.catalog.append("seen", seen_out)
-        n_new = int(obs_seen.get["n"])
-        self.catalog.append(
-            "blocked",
-            blocked_new.observe(obs_blocked, F.count(F.lit(1)).alias("n")).select("url_canon"),
-        )
-        n_blocked_new = int(obs_blocked.get["n"])
-        tm.mark("write_seen+blocked")
+        def _commit_seen():
+            seen_out = new_urls.observe(
+                obs_seen, F.count(F.lit(1)).alias("n")
+            ).select("url_canon")
+            if self.catalog.partition_layout("seen") == "bucket":
+                self.catalog.append(
+                    "seen", seen_out.withColumn("bucket", self._bucket_col()),
+                    partition_by="bucket",
+                )
+            else:
+                self.catalog.append("seen", seen_out)
 
-        # -- frontier merge-on-read: scheduled keys leave via a delete file,
-        #    discoveries enter via an append — O(delta) write I/O per round
-        #    (see module docstring for why global delete scope is sound here)
-        self.catalog.append_deletes(
-            "frontier", sched.select("url_canon"), "url_canon", scope="global"
-        )
-        self.catalog.append("frontier", allowed_new.select(*FRONTIER_COLS))
-        tm.mark("write_frontier_delta")
-        self._append_seen_state(new_urls.select("url_canon"), epoch=rnd)
-        tm.mark("write_seen_state")
+        def _commit_blocked():
+            self.catalog.append(
+                "blocked",
+                blocked_new.observe(
+                    obs_blocked, F.count(F.lit(1)).alias("n")
+                ).select("url_canon"),
+            )
+
+        # frontier merge-on-read: scheduled keys leave via a delete file,
+        # discoveries enter via an append — O(delta) write I/O per round
+        # (see module docstring for why global delete scope is sound here)
+        def _commit_frontier():
+            self.catalog.append_deletes(
+                "frontier", sched.select("url_canon"), "url_canon", scope="global"
+            )
+            self.catalog.append("frontier", allowed_new.select(*FRONTIER_COLS))
+
+        def _commit_seen_state():
+            self._append_seen_state(new_urls.select("url_canon"), epoch=rnd)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(f)
+                for f in (_commit_seen, _commit_blocked, _commit_frontier,
+                          _commit_seen_state)
+            ]
+            for fu in futs:
+                fu.result()
+        n_new = int(obs_seen.get["n"])
+        n_blocked_new = int(obs_blocked.get["n"])
+        tm.mark("write_state_delta(parallel: seen+blocked+frontier+seen_state)")
 
         # seen_state compaction policy (amortized, like the frontier's):
         # each round appends <=1 row per touched bucket; after
