@@ -504,6 +504,72 @@ def a9_hoppe(spark: SparkSession, sf: str):
 
 
 @register(
+    "a17_okeeffe_cn",
+    """
+    WITH f AS (
+      SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey < 1000 AND o.o_orderstatus = 'F'),
+    b AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice,
+             max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS l_max
+      FROM f),
+    cn AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice / l_max), 6) AS okeeffe_cn,
+             round(sum(l_quantity * l_extendedprice / l_max) / sum(l_quantity), 6)
+               AS okeeffe_wavg
+      FROM b GROUP BY l_orderkey)
+    SELECT l_orderkey, okeeffe_cn, okeeffe_wavg,
+           CASE WHEN okeeffe_cn > 2 AND okeeffe_cn < 4 THEN 'y'
+                WHEN okeeffe_cn >= 4 AND okeeffe_cn < 6 THEN 'g'
+                WHEN okeeffe_cn >= 6 AND okeeffe_cn < 8 THEN 'b'
+                WHEN okeeffe_cn >= 8 AND okeeffe_cn < 10 THEN 'r'
+                WHEN okeeffe_cn >= 10 AND okeeffe_cn < 12 THEN 'c'
+                ELSE 'k' END AS coord_band
+    FROM cn
+    """,
+    "A17 O'Keeffe max-normalized CN — the third coordination-number variant "
+    "the reference computes alongside Hoppe ECoN (A9) and Voronoi threshold "
+    "(A10): neighbor weights normalized by the group max (O'Keeffe 1979 "
+    "largest-solid-angle normalization), summed to a CN, gated per group "
+    "(analysePauling.py:179 gates on is_ordered), weighted-averaged "
+    "(analysePauling.py:186 get_cation_weighted_avg) and banded into the "
+    "color classes of the coordination() descriptor "
+    "(analysePauling.py:344-359, CN_barchart.py:11)",
+)
+def a17_okeeffe_cn(spark: SparkSession, sf: str):
+    # the is_ordered gate analog is a per-group attribute from the parent
+    # table; broadcast the filtered key list (small dim at any scale factor)
+    gate = (
+        load(spark, sf, "orders")
+        .filter((F.col("o_orderkey") < 1000) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey")
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    f = li.join(F.broadcast(gate), li.l_orderkey == gate.o_orderkey).drop("o_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    b = f.withColumn("l_max", F.max("l_extendedprice").over(w))
+    weight = F.col("l_extendedprice") / F.col("l_max")
+    cn = b.groupBy("l_orderkey").agg(
+        F.round(F.sum(weight), 6).alias("okeeffe_cn"),
+        F.round(
+            F.sum(F.col("l_quantity") * weight) / F.sum("l_quantity"), 6
+        ).alias("okeeffe_wavg"),
+    )
+    c = F.col("okeeffe_cn")
+    band = (
+        F.when((c > 2) & (c < 4), "y")
+        .when((c >= 4) & (c < 6), "g")
+        .when((c >= 6) & (c < 8), "b")
+        .when((c >= 8) & (c < 10), "r")
+        .when((c >= 10) & (c < 12), "c")
+        .otherwise("k")
+    )
+    return cn.select("l_orderkey", "okeeffe_cn", "okeeffe_wavg", band.alias("coord_band"))
+
+
+@register(
     "a11_conditional_counters",
     """
     SELECT count(*) AS total,

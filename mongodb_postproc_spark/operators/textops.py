@@ -429,6 +429,8 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     # so the loop is short. At 10^9+ edges the same loop stands — each sweep
     # is one partial-aggregated shuffle on dst — with large-star/small-star
     # as the documented upgrade if diameters ever grow adversarial.
+    from pyspark.sql import Observation
+
     while True:
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
@@ -436,20 +438,21 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("dst", "doc_id")
         )
-        # carry the pre-sweep label through so convergence detection is a
-        # filter over the checkpointed result, not a second join per sweep
+        # convergence detection rides the checkpoint materialization as an
+        # observed metric — one Spark job per sweep, no second count() scan
+        obs = Observation()
         stepped = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                F.col("comp").alias("old_comp"),
                 F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_chg"),
             )
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("changed"))
             .localCheckpoint()  # materialize + cut lineage growth across sweeps
         )
-        changed = stepped.filter("comp < old_comp").count()
         labels = stepped.select("doc_id", "comp")
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select(
         "doc_id",
