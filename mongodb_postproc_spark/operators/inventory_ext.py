@@ -192,10 +192,17 @@ def a13_distinct_values(spark: SparkSession, sf: str) -> DataFrame:
     "observe()/metrics tables instead (crawl engine writes a metrics table)",
 )
 def a16_progress_counters(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.orderBy("event_id")
+    # global rank without the single-partition window funnel: the crawl
+    # engine's distributed total-order assigner (range-repartition + local
+    # sort + O(partitions) offset join) — event_id is unique, so the rank is
+    # deterministic at any parallelism
+    from mongodb_postproc_spark.crawl.ordering import assign_global_seq
+
+    ranked = assign_global_seq(
+        load(spark, sf, "events").select("event_id"), ["event_id"], out_col="rn"
+    )
     return (
-        load(spark, sf, "events")
-        .select(F.floor((F.row_number().over(w) - 1) / 1000).cast("bigint").alias("chunk"))
+        ranked.select(F.floor(F.col("rn") / 1000).cast("bigint").alias("chunk"))
         .groupBy("chunk")
         .agg(F.count("*").alias("n"))
         .orderBy("chunk")
@@ -219,12 +226,21 @@ def a16_progress_counters(spark: SparkSession, sf: str) -> DataFrame:
     "fix_incorrect_structures.py:235) as a row_number range",
 )
 def w3_rownumber_resume(spark: SparkSession, sf: str) -> DataFrame:
+    # rn <= 120, so the global window collapses to a distributed top-k
+    # (TakeOrderedAndProject) + row_number over those 120 rows — no
+    # single-partition pass over the full table. For deep offsets the scale
+    # path is keyset pagination (WHERE o_orderkey > last_seen), which is the
+    # reference's actual resume idiom; this query pins the skip/limit form.
     w = Window.orderBy("o_orderkey")
-    return (
+    top = (
         load(spark, sf, "orders")
-        .select(F.row_number().over(w).alias("rn"), "o_orderkey", "o_totalprice")
-        .filter(F.col("rn").between(101, 120))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(120)
     )
+    return top.select(
+        F.row_number().over(w).alias("rn"), "o_orderkey", "o_totalprice"
+    ).filter(F.col("rn").between(101, 120))
 
 
 @register(
