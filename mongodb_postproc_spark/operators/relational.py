@@ -428,6 +428,19 @@ def a5_histogram(spark: SparkSession, sf: str):
     )
 
 
+def mode_per_group(df, key: str, val: str):
+    """scipy.stats.mode semantics per group: the most frequent value, ties
+    broken by the LOWEST value (getCoordination.py:30-42 ``mode(...)[0][0]``).
+    Returns (key, mode_<val>, mode_count)."""
+    counted = df.groupBy(key, val).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc(val))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(key, F.col(val).alias(f"mode_{val}"), F.col("cnt").alias("mode_count"))
+    )
+
+
 @register(
     "a7_mode_per_group",
     """
@@ -447,16 +460,10 @@ def a5_histogram(spark: SparkSession, sf: str):
 )
 def a7_mode(spark: SparkSession, sf: str):
     li = load(spark, sf, "lineitem")
-    counted = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag",
-            F.col("l_quantity").alias("mode_qty"),
-            F.col("cnt").alias("mode_count"),
-        )
+    return mode_per_group(li, "l_returnflag", "l_quantity").select(
+        "l_returnflag",
+        F.col("mode_l_quantity").alias("mode_qty"),
+        "mode_count",
     )
 
 
@@ -501,6 +508,54 @@ def a9_hoppe(spark: SparkSession, sf: str):
     b = li.withColumn("l_min", F.min("l_extendedprice").over(w))
     weight = F.exp(1 - F.pow(F.col("l_extendedprice") / F.col("l_min"), 6))
     return b.groupBy("l_orderkey").agg(F.round(F.sum(weight), 6).alias("econ"))
+
+
+def econ_two_stage(df, key: str, bond: str):
+    """Full Hoppe (1979) two-stage ECoN, the exact math of the reference's
+    EffectiveCoordFinder (getCoordination.py:100-114 calculate_weighted_avg,
+    :117-162 get_cns): stage 1 computes the weighted-average bond length
+    l_av = sum(l*exp(1-(l/l_min)^6)) / sum(exp(1-(l/l_min)^6)); stage 2
+    re-weights each bond against l_av and sums the per-bond weights, each
+    rounded to 3 decimals as the reference does (getCoordination.py:159).
+    All window + aggregate expressions — one shuffle on the group key."""
+    w = Window.partitionBy(key)
+    l_min = F.min(bond).over(w)
+    w1 = F.exp(1 - F.pow(F.col(bond) / l_min, 6))
+    l_av = F.sum(F.col(bond) * w1).over(w) / F.sum(w1).over(w)
+    wt = F.round(F.exp(1 - F.pow(F.col(bond) / l_av, 6)), 3)
+    return (
+        df.withColumn("_w", wt)
+        .groupBy(key)
+        .agg(F.round(F.sum("_w"), 6).alias("econ2"))
+    )
+
+
+@register(
+    "a9b_econ_two_stage",
+    """
+    WITH b AS (
+      SELECT l_orderkey, l_extendedprice,
+             min(l_extendedprice) OVER (PARTITION BY l_orderkey) AS l_min
+      FROM lineitem WHERE l_orderkey < 1000),
+    c AS (
+      SELECT l_orderkey, l_extendedprice,
+             sum(l_extendedprice * exp(1 - pow(l_extendedprice / l_min, 6)))
+               OVER (PARTITION BY l_orderkey)
+             / sum(exp(1 - pow(l_extendedprice / l_min, 6)))
+               OVER (PARTITION BY l_orderkey) AS l_av
+      FROM b)
+    SELECT l_orderkey,
+           round(sum(round(exp(1 - pow(l_extendedprice / l_av, 6)), 3)), 6) AS econ2
+    FROM c GROUP BY l_orderkey
+    """,
+    "A9b full two-stage Hoppe ECoN — weighted-average bond length then "
+    "re-weighted sum with 3-decimal per-bond rounding, the exact "
+    "EffectiveCoordFinder math (getCoordination.py:100-114,117-162; A9 "
+    "covers the single-stage l_min form)",
+)
+def a9b_econ_two_stage(spark: SparkSession, sf: str):
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return econ_two_stage(li, "l_orderkey", "l_extendedprice")
 
 
 @register(
