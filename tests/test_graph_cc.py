@@ -1,0 +1,83 @@
+"""Large-star/small-star connected components vs an independent union-find.
+
+Three graph shapes stress different failure modes:
+- seeded sparse random graphs (the general case),
+- two dense cliques joined by one bridge edge (merge correctness),
+- a 256-node path (adversarial diameter: min-label propagation needs 255
+  sweeps; the alternating star algorithm must converge in O(log^2 n) rounds —
+  pinned at <=14 here, which is what makes it the documented scale upgrade).
+
+Also asserts the registered query `dedup_cluster_components_star` returns
+exactly the same rows as the min-label `dedup_cluster_components` on the
+real LSH candidate graph at sf0.001.
+"""
+
+from __future__ import annotations
+
+import random
+
+from mongodb_postproc_spark.operators.graph import connected_components_star
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per component
+    return {n: find(n) for n in parent}
+
+
+def _spark_labels(spark, edges):
+    df = spark.createDataFrame([(int(a), int(b)) for a, b in edges], "src long, dst long")
+    labels, rounds = connected_components_star(df, "src", "dst")
+    return {r["node"]: r["comp"] for r in labels.collect()}, rounds
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 120
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        got, _ = _spark_labels(spark, edges)
+        assert got == _union_find(edges), f"trial {trial}"
+
+
+def test_two_cliques_one_bridge(spark):
+    c1 = [(i, j) for i in range(0, 8) for j in range(i + 1, 8)]
+    c2 = [(i, j) for i in range(100, 108) for j in range(i + 1, 108)]
+    edges = c1 + c2 + [(7, 100)]
+    got, _ = _spark_labels(spark, edges)
+    expect = _union_find(edges)
+    assert got == expect
+    assert set(got.values()) == {0}  # one component, min id 0
+
+
+def test_path_graph_logarithmic_rounds(spark):
+    """256-node path: diameter 255. Min-label needs 255 sweeps; the star
+    algorithm's O(log^2 n) bound must land far below that."""
+    edges = [(i, i + 1) for i in range(255)]
+    got, rounds = _spark_labels(spark, edges)
+    assert got == {i: 0 for i in range(256)}
+    assert rounds <= 14, f"path-256 took {rounds} rounds (min-label would take 255)"
+
+
+def test_star_query_equals_minlabel_query(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    a = e.queries()["dedup_cluster_components"](spark, sf)
+    b = e.queries()["dedup_cluster_components_star"](spark, sf)
+    rows_a = sorted((r["doc_id"], r["cluster_id"], r["is_keeper"]) for r in a.collect())
+    rows_b = sorted((int(r["doc_id"]), int(r["cluster_id"]), r["is_keeper"]) for r in b.collect())
+    assert rows_a == rows_b
