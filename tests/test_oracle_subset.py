@@ -35,6 +35,7 @@ SUBSET_SF001 = [
     "a11_conditional_counters",
     "a15_pivot",
     "a17_okeeffe_cn",
+    "a9b_econ_two_stage",
     "w1_global_topk",
     "w2_multikey_mixed_sort",
     "w5_politeness_slotting",
