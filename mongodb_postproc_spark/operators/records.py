@@ -98,6 +98,13 @@ def _records_cte(d: str) -> str:
 
 
 def _rec_view(spark: SparkSession, sf: str, name: str = "v_records") -> str:
+    # deliberately NOT spread across cores (contrast
+    # textops._docs_view_parallel): the battery is capped at MAX_DOC=2400
+    # rows and the repair kernel measures ~0.07 s for the whole table, so a
+    # forced repartition would only multiply python-worker startup and Arrow
+    # round-trip overhead (measured 24 s cold / 2.3 s warm at 32 tasks vs
+    # 2.3 s warm at 1). At real corpus scale the parquet input arrives with
+    # thousands of natural splits and mapInPandas inherits them.
     load(spark, sf, "documents").createOrReplaceTempView("documents")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {_records_cte('spark')}")
     return name
