@@ -312,6 +312,110 @@ def _kmeans_sql(d: str) -> str:
     return "WITH " + ",\n".join(ctes) + body
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 4           # subspaces (64 dims -> 4 sub-vectors of 16)
+PQ_SUBDIM = DIM // PQ_M
+
+
+def _pq_sql(d: str, table: str) -> str:
+    """Product-quantization ANN with asymmetric distance computation (ADC),
+    Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+    2011 — public literature).
+
+    Pipeline (one declarative plan, both dialects):
+      1. split each 64-dim vector into PQ_M=4 sub-vectors of 16 dims;
+      2. train one codebook per subspace (per-label sub-centroids — the same
+         fixture-scale quantizer stand-in sim_ivf_topk uses; at real scale
+         the codebooks come from sim_kmeans_train run per subspace);
+      3. encode every vector as 4 code ids = nearest sub-centroid by L2
+         (the compressed representation: 64 floats -> 4 small ints, the
+         256 GB -> 16 GB memory story at 10^10 vectors);
+      4. ADC: each probe query builds a (m, code) -> partial-dot lookup
+         table against the codebooks and scores every encoded vector by
+         summing its 4 table entries — O(n·M) adds, no full-vector math on
+         the database side.
+
+    Determinism across engines: all arithmetic is EXACT integer — components
+    quantize to 1e-6 fixed point (vi = round(v*1e4)*100, BIGINT), codebook
+    centroids are floor(mean) of those integers, encodings argmin exact
+    integer L2 with code-id tie-break, and ADC partial dots are integer sums
+    descaled once at the end (round /1e12 to 4dp). No double fold anywhere,
+    so Spark and DuckDB agree bit-for-bit.
+
+    Scale audit: codebook is M×K×subdim rows (tiny, broadcast); encode and
+    ADC joins are equi-joins on (m, sp)/(m, code) with map-side-combined
+    partial aggregation; candidate scoring is linear in n — no n² stage.
+    """
+    if d == "spark":
+        expl = (
+            "SELECT vec_id, label, pos, "
+            "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) * 100 AS vi "
+            f"FROM {table} LATERAL VIEW posexplode(embedding) AS pos, v"
+        )
+    else:
+        expl = (
+            "SELECT vec_id, label, CAST(i - 1 AS INT) AS pos, "
+            "CAST(round(embedding[i]::DOUBLE * 10000) AS BIGINT) * 100 AS vi "
+            f"FROM {table}, range(1, {DIM + 1}) r(i)"
+        )
+    return f"""
+        WITH ex AS ({expl}),
+        sub AS (
+          SELECT vec_id, label, CAST(floor(pos / {PQ_SUBDIM}) AS INT) AS m,
+                 pos % {PQ_SUBDIM} AS sp, vi
+          FROM ex),
+        cb AS (
+          SELECT label AS code, m, sp,
+                 CAST(floor(CAST(sum(vi) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+          FROM sub GROUP BY label, m, sp),
+        encd AS (
+          SELECT s.vec_id, s.m, cb.code,
+                 sum((s.vi - cb.ci) * (s.vi - cb.ci)) AS d2
+          FROM sub s JOIN cb ON cb.m = s.m AND cb.sp = s.sp
+          GROUP BY s.vec_id, s.m, cb.code),
+        enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, code ASC) AS rk
+            FROM encd) t WHERE rk = 1),
+        adt AS (
+          SELECT s.vec_id AS query_id, s.m, cb.code, sum(s.vi * cb.ci) AS pdot
+          FROM sub s JOIN cb ON cb.m = s.m AND cb.sp = s.sp
+          WHERE s.vec_id < 8
+          GROUP BY s.vec_id, s.m, cb.code),
+        scores AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round(CAST(sum(a.pdot) AS DOUBLE) / 1000000000000.0, 4) AS adc_dot
+          FROM enc e JOIN adt a ON a.m = e.m AND a.code = e.code
+          WHERE e.vec_id <> a.query_id
+          GROUP BY a.query_id, e.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dot DESC, neighbor_id ASC) AS rk
+          FROM scores)
+        SELECT query_id, neighbor_id, adc_dot, rk FROM ranked WHERE rk <= 5
+    """
+
+
+@register(
+    "sim_pq_topk",
+    _pq_sql("duckdb", "embeddings"),
+    f"Product-quantization ANN (M={PQ_M} subspaces × {PQ_SUBDIM} dims, "
+    "asymmetric distance computation): per-subspace codebooks → 4-code "
+    "encodings → query-side lookup tables summed per candidate. The "
+    "memory-bound scale path (4 bytes/vector vs 256) complementing "
+    "LSH (sim_lsh_bucket_pairs) and IVF (sim_ivf_topk); exact-integer "
+    "arithmetic keeps the DuckDB oracle bit-identical",
+)
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(_pq_sql("spark", v))
+
+
 @register(
     "sim_kmeans_train",
     _kmeans_sql("duckdb").replace("__EMB__", "embeddings"),

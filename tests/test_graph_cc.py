@@ -16,6 +16,9 @@ from __future__ import annotations
 
 import random
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from mongodb_postproc_spark.operators.graph import connected_components_star
 
 
@@ -70,6 +73,53 @@ def test_path_graph_logarithmic_rounds(spark):
     got, rounds = _spark_labels(spark, edges)
     assert got == {i: 0 for i in range(256)}
     assert rounds <= 14, f"path-256 took {rounds} rounds (min-label would take 255)"
+
+
+def test_hub_star_and_broom(spark):
+    """Skew shapes: a 200-leaf hub (one hot node carries the whole adjacency
+    — the AQE skew-join case called out in graph.py) and a broom (128-path
+    whose far end fans into 64 leaves — mixes the diameter and fan-out
+    regimes in one component)."""
+    hub = [(0, i) for i in range(1, 201)]
+    got, rounds = _spark_labels(spark, hub)
+    assert got == {i: 0 for i in range(201)}
+    assert rounds <= 6, f"hub-200 took {rounds} rounds"
+
+    broom = [(i, i + 1) for i in range(127)] + [(127, 1000 + j) for j in range(64)]
+    got, rounds = _spark_labels(spark, broom)
+    expect = _union_find(broom)
+    assert got == expect
+    assert set(got.values()) == {0}
+    assert rounds <= 14, f"broom took {rounds} rounds"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # a batch of small graphs, each a list of (u, v) edges
+        st.lists(
+            st.tuples(st.integers(0, 24), st.integers(0, 24)),
+            min_size=1,
+            max_size=50,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_fuzzed_graph_batches_match_union_find(spark, graphs):
+    """Hypothesis fuzz with shrinking: components of a disjoint union are
+    independent, so each example offsets every generated graph into its own
+    id range and runs ONE star-CC over the union (a Spark action per
+    hypothesis example would be pathologically slow; one per batch is not).
+    Self-loops are generated on purpose — the operator must drop them."""
+    edges = []
+    for g, glist in enumerate(graphs):
+        base = g * 1000
+        edges += [(base + a, base + b) for a, b in glist]
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    got, _ = _spark_labels(spark, edges)
+    assert got == _union_find(clean)
 
 
 def test_star_query_equals_minlabel_query(spark):

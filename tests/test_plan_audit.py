@@ -40,6 +40,7 @@ AUDITED = [
     "pipeline_corpus_curation",
     "sim_lsh_bucket_pairs",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "u3_payload_repair_chain",
     "mm_decode_metadata",
 ]
