@@ -316,38 +316,23 @@ def _kmeans_sql(d: str) -> str:
 # Product quantization (PQ) — the memory-bound ANN scale path
 # ---------------------------------------------------------------------------
 
-PQ_M = 4           # subspaces (64 dims -> 4 sub-vectors of 16)
+PQ_M = 4             # subspaces (64 dims -> 4 sub-vectors of 16)
 PQ_SUBDIM = DIM // PQ_M
+PQ_K = 32            # codes per subspace codebook
+PQ_ITERS = 2         # Lloyd iterations per subspace
 
 
-def _pq_sql(d: str, table: str) -> str:
-    """Product-quantization ANN with asymmetric distance computation (ADC),
-    Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
-    2011 — public literature).
+def _pq_cte_chain(d: str, table: str) -> tuple[str, str, str]:
+    """Shared CTE chain for the PQ queries: returns (WITH-body, final
+    codebook name, encoding name). See _pq_sql for semantics.
 
-    Pipeline (one declarative plan, both dialects):
-      1. split each 64-dim vector into PQ_M=4 sub-vectors of 16 dims;
-      2. train one codebook per subspace (per-label sub-centroids — the same
-         fixture-scale quantizer stand-in sim_ivf_topk uses; at real scale
-         the codebooks come from sim_kmeans_train run per subspace);
-      3. encode every vector as 4 code ids = nearest sub-centroid by L2
-         (the compressed representation: 64 floats -> 4 small ints, the
-         256 GB -> 16 GB memory story at 10^10 vectors);
-      4. ADC: each probe query builds a (m, code) -> partial-dot lookup
-         table against the codebooks and scores every encoded vector by
-         summing its 4 table entries — O(n·M) adds, no full-vector math on
-         the database side.
-
-    Determinism across engines: all arithmetic is EXACT integer — components
-    quantize to 1e-6 fixed point (vi = round(v*1e4)*100, BIGINT), codebook
-    centroids are floor(mean) of those integers, encodings argmin exact
-    integer L2 with code-id tie-break, and ADC partial dots are integer sums
-    descaled once at the end (round /1e12 to 4dp). No double fold anywhere,
-    so Spark and DuckDB agree bit-for-bit.
-
-    Scale audit: codebook is M×K×subdim rows (tiny, broadcast); encode and
-    ADC joins are equi-joins on (m, sp)/(m, code) with map-side-combined
-    partial aggregation; candidate scoring is linear in n — no n² stage.
+    Codebook training is real per-subspace k-means (Lloyd, PQ_ITERS
+    unrolled iterations like sim_kmeans_train): init from the first PQ_K
+    vectors' sub-vectors, assign all sub-vectors by exact-integer L2
+    (code-id tie-break), recompute centroids as floor-means of the 1e-6
+    fixed-point components. A code that loses all members drops out of the
+    recomputed codebook — identically in both dialects, so determinism
+    holds. Final encoding is a fresh argmin against the trained codebook.
     """
     if d == "spark":
         expl = (
@@ -361,38 +346,94 @@ def _pq_sql(d: str, table: str) -> str:
             "CAST(round(embedding[i]::DOUBLE * 10000) AS BIGINT) * 100 AS vi "
             f"FROM {table}, range(1, {DIM + 1}) r(i)"
         )
-    return f"""
-        WITH ex AS ({expl}),
-        sub AS (
+    ctes = [
+        f"ex AS ({expl})",
+        f"""sub AS (
           SELECT vec_id, label, CAST(floor(pos / {PQ_SUBDIM}) AS INT) AS m,
                  pos % {PQ_SUBDIM} AS sp, vi
-          FROM ex),
-        cb AS (
-          SELECT label AS code, m, sp,
-                 CAST(floor(CAST(sum(vi) AS DOUBLE) / count(*)) AS BIGINT) AS ci
-          FROM sub GROUP BY label, m, sp),
-        encd AS (
-          SELECT s.vec_id, s.m, cb.code,
-                 sum((s.vi - cb.ci) * (s.vi - cb.ci)) AS d2
-          FROM sub s JOIN cb ON cb.m = s.m AND cb.sp = s.sp
-          GROUP BY s.vec_id, s.m, cb.code),
-        enc AS (
+          FROM ex)""",
+        f"""cb0 AS (
+          SELECT CAST(vec_id AS INT) AS code, m, sp, vi AS ci
+          FROM sub WHERE vec_id < {PQ_K})""",
+    ]
+    prev = "cb0"
+    for i in range(1, PQ_ITERS + 1):
+        ctes.append(f"""pd{i} AS (
+          SELECT s.vec_id, s.m, c.code,
+                 sum((s.vi - c.ci) * (s.vi - c.ci)) AS d2
+          FROM sub s JOIN {prev} c ON c.m = s.m AND c.sp = s.sp
+          GROUP BY s.vec_id, s.m, c.code)""")
+        ctes.append(f"""pa{i} AS (
           SELECT vec_id, m, code FROM (
             SELECT vec_id, m, code,
                    row_number() OVER (PARTITION BY vec_id, m
                                       ORDER BY d2 ASC, code ASC) AS rk
-            FROM encd) t WHERE rk = 1),
-        adt AS (
-          SELECT s.vec_id AS query_id, s.m, cb.code, sum(s.vi * cb.ci) AS pdot
-          FROM sub s JOIN cb ON cb.m = s.m AND cb.sp = s.sp
+            FROM pd{i}) t WHERE rk = 1)""")
+        ctes.append(f"""cb{i} AS (
+          SELECT a.code, s.m, s.sp,
+                 CAST(floor(CAST(sum(s.vi) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+          FROM pa{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+          GROUP BY a.code, s.m, s.sp)""")
+        prev = f"cb{i}"
+    cb = prev
+    ctes.append(f"""encd AS (
+          SELECT s.vec_id, s.m, c.code,
+                 sum((s.vi - c.ci) * (s.vi - c.ci)) AS d2
+          FROM sub s JOIN {cb} c ON c.m = s.m AND c.sp = s.sp
+          GROUP BY s.vec_id, s.m, c.code)""")
+    ctes.append("""enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, code ASC) AS rk
+            FROM encd) t WHERE rk = 1)""")
+    ctes.append(f"""adt AS (
+          SELECT s.vec_id AS query_id, s.m, c.code, sum(s.vi * c.ci) AS pdot
+          FROM sub s JOIN {cb} c ON c.m = s.m AND c.sp = s.sp
           WHERE s.vec_id < 8
-          GROUP BY s.vec_id, s.m, cb.code),
-        scores AS (
+          GROUP BY s.vec_id, s.m, c.code)""")
+    ctes.append("""scores AS (
           SELECT a.query_id, e.vec_id AS neighbor_id,
                  round(CAST(sum(a.pdot) AS DOUBLE) / 1000000000000.0, 4) AS adc_dot
           FROM enc e JOIN adt a ON a.m = e.m AND a.code = e.code
           WHERE e.vec_id <> a.query_id
-          GROUP BY a.query_id, e.vec_id),
+          GROUP BY a.query_id, e.vec_id)""")
+    return ",\n".join(ctes), cb, "enc"
+
+
+def _pq_sql(d: str, table: str) -> str:
+    """Product-quantization ANN with asymmetric distance computation (ADC),
+    Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+    2011 — public literature).
+
+    Pipeline (one declarative plan, both dialects):
+      1. split each 64-dim vector into PQ_M=4 sub-vectors of 16 dims;
+      2. train one k-means codebook per subspace (PQ_K=32 codes, PQ_ITERS
+         Lloyd iterations unrolled — see _pq_cte_chain);
+      3. encode every vector as 4 code ids = nearest sub-centroid by L2
+         (the compressed representation: 64 floats -> 4 small ints, the
+         256 GB -> 16 GB memory story at 10^10 vectors);
+      4. ADC: each probe query builds a (m, code) -> partial-dot lookup
+         table against the codebooks and scores every encoded vector by
+         summing its 4 table entries — O(n·M) adds, no full-vector math on
+         the database side.
+
+    Determinism across engines: all arithmetic is EXACT integer — components
+    quantize to 1e-6 fixed point (vi = round(v*1e4)*100, BIGINT), codebook
+    centroids are floor-means of those integers, encodings argmin exact
+    integer L2 with code-id tie-break, and ADC partial dots are integer sums
+    descaled once at the end (round /1e12 to 4dp). No double fold anywhere,
+    so Spark and DuckDB agree bit-for-bit.
+
+    Scale audit: codebook is M×K×subdim rows (tiny, broadcast); training
+    assign/recompute, encode, and ADC joins are equi-joins on (m, sp)/(m,
+    code) with map-side-combined partial aggregation; candidate scoring is
+    linear in n — no n² stage. At real scale the codebook trains on a
+    sampled slice (k-means cost is O(sample·K), decoupled from corpus size).
+    """
+    chain, _, _ = _pq_cte_chain(d, table)
+    return f"""
+        WITH {chain},
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY adc_dot DESC, neighbor_id ASC) AS rk
@@ -414,6 +455,71 @@ def _pq_sql(d: str, table: str) -> str:
 def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
     return spark.sql(_pq_sql("spark", v))
+
+
+def _bf_topk_sql(d: str, table: str) -> str:
+    """Exact brute-force cosine top-5 for the 8 probe queries — the ground
+    truth sim_pq_recall measures the PQ approximation against."""
+    cos = _SPARK_COS if d == "spark" else _DUCK_COS
+    return f"""
+        WITH pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round(({cos}), 4) AS cosine
+          FROM {table} a JOIN {table} b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 8),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+          FROM pairs)
+        SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5
+    """
+
+
+PQ_SHORTLIST = 50    # ADC shortlist size fed to exact reranking
+
+
+def _pq_recall_sql(d: str, table: str) -> str:
+    """Shortlist recall of the PQ/ADC stage: the fraction of the exact
+    brute-force top-5 captured inside the ADC top-{PQ_SHORTLIST} candidate
+    list, per probe query. This is the metric that matters in production —
+    PQ is a prefilter whose shortlist feeds exact reranking, so what you
+    tune is "how big a shortlist buys how much ground truth". At 100 TB you
+    pick (M, K, shortlist) by running THIS on a sampled slice: the
+    brute-force side is cheap on the sample while the PQ side is the
+    production plan."""
+    chain, _, _ = _pq_cte_chain(d, table)
+    shortlist = f"""
+        WITH {chain},
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dot DESC, neighbor_id ASC) AS rk
+          FROM scores)
+        SELECT query_id, neighbor_id FROM ranked WHERE rk <= {PQ_SHORTLIST}
+    """
+    return f"""
+        SELECT bf.query_id,
+               CAST(count(pq.neighbor_id) AS BIGINT) AS n_hits,
+               round(CAST(count(pq.neighbor_id) AS DOUBLE) / 5.0, 4) AS shortlist_recall
+        FROM ({_bf_topk_sql(d, table)}) bf
+        LEFT JOIN ({shortlist}) pq
+          ON pq.query_id = bf.query_id AND pq.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """
+
+
+@register(
+    "sim_pq_recall",
+    _pq_recall_sql("duckdb", "embeddings"),
+    f"Shortlist recall of the PQ/ADC prefilter: share of the exact cosine "
+    f"top-5 captured in the ADC top-{PQ_SHORTLIST}, per probe query — the "
+    "sampled-slice quality gauge that selects ANN parameters (M, codebook "
+    "size, shortlist) before a full-corpus two-stage (ADC -> exact rerank) "
+    "run",
+)
+def sim_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(_pq_recall_sql("spark", v))
 
 
 @register(

@@ -41,6 +41,7 @@ AUDITED = [
     "sim_lsh_bucket_pairs",
     "sim_ivf_topk",
     "sim_pq_topk",
+    "sim_pq_recall",
     "u3_payload_repair_chain",
     "mm_decode_metadata",
 ]

@@ -32,7 +32,15 @@ from mongodb_postproc_spark.session import get_spark  # noqa: E402
 # broadcast query set IS the intended plan (the scale path is the LSH/banded
 # variant of each). sim_kmeans_train's assign step is a per-vector product
 # with the K=8 broadcast centroid rows — O(n·K), K constant, by design.
-BNLJ_BASELINES = {"sim_bruteforce_topk", "sim_threshold_neighbors", "sim_kmeans_train"}
+BNLJ_BASELINES = {
+    "sim_bruteforce_topk",
+    "sim_threshold_neighbors",
+    "sim_kmeans_train",
+    # sim_pq_recall's BNLJ is its exact brute-force ground-truth side,
+    # deliberately scoped to the 8 probe rows (a recall gauge needs the
+    # exact answer); the PQ side under measurement is all equi-joins.
+    "sim_pq_recall",
+}
 
 
 def audit_plan(plan: str, name: str = "") -> list[str]:
