@@ -45,6 +45,7 @@ HEADLINE = [
     "pipeline_corpus_curation",
     "sim_lsh_bucket_pairs",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "text_quality_score",
     "u3_payload_repair_chain",
     "pipeline_hpht_dataset_tags",

@@ -318,80 +318,136 @@ def _kmeans_sql(d: str) -> str:
 
 PQ_M = 4             # subspaces (64 dims -> 4 sub-vectors of 16)
 PQ_SUBDIM = DIM // PQ_M
-PQ_K = 32            # codes per subspace codebook
-PQ_ITERS = 2         # Lloyd iterations per subspace
+# Parameters picked BY sim_pq_recall on this corpus: K=16/iters=1 ties
+# K=32/iters=2 at 0.75 shortlist-recall (differences are sub-noise at 40
+# ground-truth pairs), so the cheaper configuration wins — the tuning
+# workflow the recall gauge exists for.
+PQ_K = 16            # codes per subspace codebook
+PQ_ITERS = 1         # Lloyd iterations per subspace
 
 
-def _pq_cte_chain(d: str, table: str) -> tuple[str, str, str]:
+def _pq_cte_chain(
+    d: str, table: str, mode: str = "full", cb_values: str | None = None
+) -> tuple[str, str, str]:
     """Shared CTE chain for the PQ queries: returns (WITH-body, final
     codebook name, encoding name). See _pq_sql for semantics.
+
+    ``mode`` selects the slice of the pipeline: "full" = train + serve in
+    one plan (the DuckDB oracle runs this, proving the Spark two-phase
+    split end-to-end), "train" = stop at the trained codebook, "serve" =
+    score against ``cb_values`` (a VALUES clause of collected codebook
+    rows). The Spark side runs train and serve as two separate shallow
+    plans with the 64-row codebook inlined as literals between them — the
+    production shape (codebooks are trained offline on a sample and shipped
+    as broadcast constants) and far cheaper to compile than one deep
+    lambda-laden CTE chain.
 
     Codebook training is real per-subspace k-means (Lloyd, PQ_ITERS
     unrolled iterations like sim_kmeans_train): init from the first PQ_K
     vectors' sub-vectors, assign all sub-vectors by exact-integer L2
-    (code-id tie-break), recompute centroids as floor-means of the 1e-6
-    fixed-point components. A code that loses all members drops out of the
-    recomputed codebook — identically in both dialects, so determinism
-    holds. Final encoding is a fresh argmin against the trained codebook.
-    """
+    (code-id tie-break via min-struct), recompute centroids as floor-means
+    of the 1e-6 fixed-point components. A code that loses all members
+    drops out of the recomputed codebook — identically in both dialects,
+    so determinism holds. Final encoding is a fresh argmin against the
+    trained codebook.
+
+    Sub-vectors stay ARRAY-typed end-to-end: every distance/dot is a
+    16-element fold on a row of the broadcast-size codebook join — the
+    per-element explode only appears inside the centroid recompute (rows
+    there are members-per-code, already shuffled by the assignment). At
+    corpus scale this keeps the shuffled row count at n·M (assignments),
+    never n·M·K·subdim as an exploded-distance formulation would shuffle.
+
+    Exactness note for the DuckDB twin: list_dot_product over
+    integer-valued DOUBLE lists is exact (components ≤ 6e5, products
+    ≤ 3.6e11, 16-term sums ≤ 6e12 — all far below 2^53), so its argmin and
+    ADC sums match Spark's BIGINT folds bit-for-bit."""
+    ms = ", ".join(str(m) for m in range(PQ_M))
     if d == "spark":
-        expl = (
-            "SELECT vec_id, label, pos, "
-            "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) * 100 AS vi "
-            f"FROM {table} LATERAL VIEW posexplode(embedding) AS pos, v"
-        )
+        sub = f"""sub AS (
+          SELECT vec_id, m,
+                 transform(slice(CAST(embedding AS ARRAY<DOUBLE>),
+                                 m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),
+                           x -> CAST(round(x * 10000) AS BIGINT) * 100) AS sarr
+          FROM {table} LATERAL VIEW explode(array({ms})) AS m)"""
+
+        def d2(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+
+        def dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+
+        mstruct = "named_struct('d', {d}, 'c', {c})"
+        elem = "LATERAL VIEW posexplode(s.sarr) AS pos, v"
+        elem_cols = "pos, v"
+        carr = "transform(sort_array(collect_list(struct(pos, ci))), x -> x.ci)"
     else:
-        expl = (
-            "SELECT vec_id, label, CAST(i - 1 AS INT) AS pos, "
-            "CAST(round(embedding[i]::DOUBLE * 10000) AS BIGINT) * 100 AS vi "
-            f"FROM {table}, range(1, {DIM + 1}) r(i)"
-        )
-    ctes = [
-        f"ex AS ({expl})",
-        f"""sub AS (
-          SELECT vec_id, label, CAST(floor(pos / {PQ_SUBDIM}) AS INT) AS m,
-                 pos % {PQ_SUBDIM} AS sp, vi
-          FROM ex)""",
-        f"""cb0 AS (
-          SELECT CAST(vec_id AS INT) AS code, m, sp, vi AS ci
-          FROM sub WHERE vec_id < {PQ_K})""",
-    ]
-    prev = "cb0"
-    for i in range(1, PQ_ITERS + 1):
-        ctes.append(f"""pd{i} AS (
-          SELECT s.vec_id, s.m, c.code,
-                 sum((s.vi - c.ci) * (s.vi - c.ci)) AS d2
-          FROM sub s JOIN {prev} c ON c.m = s.m AND c.sp = s.sp
-          GROUP BY s.vec_id, s.m, c.code)""")
-        ctes.append(f"""pa{i} AS (
-          SELECT vec_id, m, code FROM (
-            SELECT vec_id, m, code,
-                   row_number() OVER (PARTITION BY vec_id, m
-                                      ORDER BY d2 ASC, code ASC) AS rk
-            FROM pd{i}) t WHERE rk = 1)""")
-        ctes.append(f"""cb{i} AS (
-          SELECT a.code, s.m, s.sp,
-                 CAST(floor(CAST(sum(s.vi) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+        sub = f"""sub AS (
+          SELECT vec_id, CAST(m AS INT) AS m,
+                 list_transform(embedding[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}],
+                                x -> CAST(round(x::DOUBLE * 10000) AS BIGINT) * 100) AS sarr
+          FROM {table}, range(0, {PQ_M}) r(m))"""
+
+        def d2(a: str, b: str) -> str:
+            return (
+                f"(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) "
+                f"- 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) "
+                f"+ list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+            )
+
+        def dot(a: str, b: str) -> str:
+            return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+        mstruct = "{{'d': {d}, 'c': {c}}}"
+        elem = ", range(1, " + str(PQ_SUBDIM + 1) + ") r(i)"
+        elem_cols = "CAST(i AS INT) AS pos, s.sarr[i] AS v"
+        carr = "list(ci ORDER BY pos)"
+
+    def assign(name: str, cb: str, extra: str = "") -> str:
+        ms_expr = mstruct.format(d=d2("s.sarr", "c.carr"), c="c.code")
+        return f"""{name} AS (
+          SELECT vec_id, m, mn.c AS code FROM (
+            SELECT s.vec_id, s.m, min({ms_expr}) AS mn
+            FROM sub s JOIN {cb} c ON c.m = s.m {extra}
+            GROUP BY s.vec_id, s.m) t)"""
+
+    ctes = [sub]
+    if mode in ("full", "train"):
+        ctes.append(f"""cb0 AS (
+          SELECT CAST(vec_id AS INT) AS code, m, sarr AS carr
+          FROM sub WHERE vec_id < {PQ_K})""")
+        prev = "cb0"
+        for i in range(1, PQ_ITERS + 1):
+            ctes.append(assign(f"pa{i}", prev))
+            ctes.append(f"""cm{i} AS (
+          SELECT a.code, s.m, {elem_cols}
           FROM pa{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
-          GROUP BY a.code, s.m, s.sp)""")
-        prev = f"cb{i}"
-    cb = prev
-    ctes.append(f"""encd AS (
-          SELECT s.vec_id, s.m, c.code,
-                 sum((s.vi - c.ci) * (s.vi - c.ci)) AS d2
-          FROM sub s JOIN {cb} c ON c.m = s.m AND c.sp = s.sp
-          GROUP BY s.vec_id, s.m, c.code)""")
-    ctes.append("""enc AS (
-          SELECT vec_id, m, code FROM (
-            SELECT vec_id, m, code,
-                   row_number() OVER (PARTITION BY vec_id, m
-                                      ORDER BY d2 ASC, code ASC) AS rk
-            FROM encd) t WHERE rk = 1)""")
+          {elem})""")
+            ctes.append(f"""cg{i} AS (
+          SELECT code, m, pos,
+                 CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+          FROM cm{i} GROUP BY code, m, pos)""")
+            ctes.append(f"""cb{i} AS (
+          SELECT code, m, {carr} AS carr FROM cg{i} GROUP BY code, m)""")
+            prev = f"cb{i}"
+        cb = prev
+        if mode == "train":
+            return ",\n".join(ctes), cb, ""
+    else:
+        ctes.append(f"cbt AS (SELECT * FROM {cb_values})")
+        cb = "cbt"
+    ctes.append(assign("enc", cb))
     ctes.append(f"""adt AS (
-          SELECT s.vec_id AS query_id, s.m, c.code, sum(s.vi * c.ci) AS pdot
-          FROM sub s JOIN {cb} c ON c.m = s.m AND c.sp = s.sp
-          WHERE s.vec_id < 8
-          GROUP BY s.vec_id, s.m, c.code)""")
+          SELECT s.vec_id AS query_id, c.m, c.code,
+                 {dot("s.sarr", "c.carr")} AS pdot
+          FROM sub s JOIN {cb} c ON c.m = s.m
+          WHERE s.vec_id < 8)""")
     ctes.append("""scores AS (
           SELECT a.query_id, e.vec_id AS neighbor_id,
                  round(CAST(sum(a.pdot) AS DOUBLE) / 1000000000000.0, 4) AS adc_dot
@@ -408,7 +464,7 @@ def _pq_sql(d: str, table: str) -> str:
 
     Pipeline (one declarative plan, both dialects):
       1. split each 64-dim vector into PQ_M=4 sub-vectors of 16 dims;
-      2. train one k-means codebook per subspace (PQ_K=32 codes, PQ_ITERS
+      2. train one k-means codebook per subspace (PQ_K codes, PQ_ITERS
          Lloyd iterations unrolled — see _pq_cte_chain);
       3. encode every vector as 4 code ids = nearest sub-centroid by L2
          (the compressed representation: 64 floats -> 4 small ints, the
@@ -442,19 +498,52 @@ def _pq_sql(d: str, table: str) -> str:
     """
 
 
+def _pq_trained_codebook_values(spark: SparkSession, v: str) -> str:
+    """Phase 1 of the Spark PQ pipeline: run the training chain, collect
+    the trained codebook (PQ_K×PQ_M rows of BIGINT arrays — the broadcast
+    constant every real PQ deployment ships to its servers), and render it
+    as a VALUES literal for the serving plan. The collect is O(K·M), the
+    same driver-side scale as the LSH hyperplane literals."""
+    chain, cb, _ = _pq_cte_chain("spark", v, mode="train")
+    rows = spark.sql(f"WITH {chain} SELECT code, m, carr FROM {cb}").collect()
+    rendered = sorted((int(r["code"]), int(r["m"]), [int(x) for x in r["carr"]]) for r in rows)
+    vals = ", ".join(
+        f"({code}, {m}, array({', '.join(str(x) + 'L' for x in carr)}))"
+        for code, m, carr in rendered
+    )
+    return f"VALUES {vals} AS t(code, m, carr)"
+
+
+def _pq_serve_sql(v: str, cb_values: str, topn: int, with_score: bool) -> str:
+    """Phase 2: the shallow scoring plan against the inlined codebook."""
+    chain, _, _ = _pq_cte_chain("spark", v, mode="serve", cb_values=cb_values)
+    cols = "query_id, neighbor_id, adc_dot, rk" if with_score else "query_id, neighbor_id"
+    return f"""
+        WITH {chain},
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dot DESC, neighbor_id ASC) AS rk
+          FROM scores)
+        SELECT {cols} FROM ranked WHERE rk <= {topn}
+    """
+
+
 @register(
     "sim_pq_topk",
     _pq_sql("duckdb", "embeddings"),
     f"Product-quantization ANN (M={PQ_M} subspaces × {PQ_SUBDIM} dims, "
-    "asymmetric distance computation): per-subspace codebooks → 4-code "
-    "encodings → query-side lookup tables summed per candidate. The "
+    "asymmetric distance computation): per-subspace k-means codebooks → "
+    "4-code encodings → query-side lookup tables summed per candidate. The "
     "memory-bound scale path (4 bytes/vector vs 256) complementing "
     "LSH (sim_lsh_bucket_pairs) and IVF (sim_ivf_topk); exact-integer "
-    "arithmetic keeps the DuckDB oracle bit-identical",
+    "arithmetic keeps the DuckDB oracle bit-identical. Spark runs it as "
+    "train-collect-serve (codebook inlined as a constant, like production); "
+    "the oracle's single end-to-end SQL proves the split exact",
 )
 def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
-    return spark.sql(_pq_sql("spark", v))
+    cbv = _pq_trained_codebook_values(spark, v)
+    return spark.sql(_pq_serve_sql(v, cbv, topn=5, with_score=True))
 
 
 def _bf_topk_sql(d: str, table: str) -> str:
@@ -519,7 +608,17 @@ def _pq_recall_sql(d: str, table: str) -> str:
 )
 def sim_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
-    return spark.sql(_pq_recall_sql("spark", v))
+    cbv = _pq_trained_codebook_values(spark, v)
+    shortlist = _pq_serve_sql(v, cbv, topn=PQ_SHORTLIST, with_score=False)
+    return spark.sql(f"""
+        SELECT bf.query_id,
+               CAST(count(pq.neighbor_id) AS BIGINT) AS n_hits,
+               round(CAST(count(pq.neighbor_id) AS DOUBLE) / 5.0, 4) AS shortlist_recall
+        FROM ({_bf_topk_sql("spark", v)}) bf
+        LEFT JOIN ({shortlist}) pq
+          ON pq.query_id = bf.query_id AND pq.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """)
 
 
 @register(
