@@ -171,22 +171,18 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
-def _ivf_sql(dialect: str, table: str) -> str:
-    """IVF top-k, single-probe: train per-label centroids (the coarse
-    quantizer), assign every vector to its NEAREST centroid by dot product
-    (not its own label — real inverted-file assignment), then answer each
-    probe query only within its cell. Candidates scale with cell size, never
-    n². Expressed identically in both dialects over exploded (vec_id, pos,
-    v) rows so the DuckDB oracle checks values end-to-end."""
+def _ivf_base_ctes(dialect: str, table: str) -> str:
+    """Shared IVF CTE prefix: exploded components, per-label centroids (the
+    coarse quantizer), vector×cell dot products, and nearest-cell
+    assignment — used by both the top-k query and the recall gauge."""
     if dialect == "spark":
         expl = f"SELECT vec_id, label, pos, CAST(v AS DOUBLE) AS v FROM {table} LATERAL VIEW posexplode(embedding) AS pos, v"
     else:
         expl = (
             "SELECT vec_id, label, CAST(i AS INT) - 1 AS pos, embedding[CAST(i AS INT)]::DOUBLE AS v "
-            "FROM embeddings, range(1, 65) r(i)"
+            f"FROM {table}, range(1, 65) r(i)"
         )
-    return f"""
-        WITH ex AS ({expl}),
+    return f"""ex AS ({expl}),
         cent AS (
           SELECT label AS cell, pos, avg(v) AS c
           FROM ex GROUP BY label, pos),
@@ -199,7 +195,18 @@ def _ivf_sql(dialect: str, table: str) -> str:
             SELECT vec_id, cell,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY dot DESC, cell ASC) AS rk
-            FROM dots) t WHERE rk = 1),
+            FROM dots) t WHERE rk = 1)"""
+
+
+def _ivf_sql(dialect: str, table: str) -> str:
+    """IVF top-k, single-probe: train per-label centroids (the coarse
+    quantizer), assign every vector to its NEAREST centroid by dot product
+    (not its own label — real inverted-file assignment), then answer each
+    probe query only within its cell. Candidates scale with cell size, never
+    n². Expressed identically in both dialects over exploded (vec_id, pos,
+    v) rows so the DuckDB oracle checks values end-to-end."""
+    return f"""
+        WITH {_ivf_base_ctes(dialect, table)},
         pairs AS (
           SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
                  round(sum(eq.v * ec.v)
@@ -228,6 +235,74 @@ def _ivf_sql(dialect: str, table: str) -> str:
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
     return spark.sql(_ivf_sql("spark", v))
+
+
+def _bf_topk_sql(d: str, table: str) -> str:
+    """Exact brute-force cosine top-5 for the 8 probe queries — the ground
+    truth the sim_pq_recall / sim_ivf_recall gauges measure against."""
+    cos = _SPARK_COS if d == "spark" else _DUCK_COS
+    return f"""
+        WITH bf_pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round(({cos}), 4) AS cosine
+          FROM {table} a JOIN {table} b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 8),
+        bf_ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+          FROM bf_pairs)
+        SELECT query_id, neighbor_id FROM bf_ranked WHERE rk <= 5
+    """
+
+
+IVF_MAX_PROBES = 2
+
+
+def _ivf_recall_sql(dialect: str, table: str) -> str:
+    """Recall of the exact cosine top-5 inside the IVF candidate set at
+    n_probe = 1..IVF_MAX_PROBES — probe count is THE IVF tuning knob (each
+    extra probed cell trades candidate volume for recall), and this is the
+    sampled-slice measurement that sets it before a full-corpus run,
+    completing the gauge pair with sim_pq_recall. Candidates at depth p =
+    vectors assigned to the query's p nearest cells; a candidate row is
+    unique per (query, neighbor) because every vector lives in exactly one
+    cell."""
+    return f"""
+        WITH {_ivf_base_ctes(dialect, table)},
+        probe_cells AS (
+          SELECT vec_id AS query_id, cell, rk AS cell_rank FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell ASC) AS rk
+            FROM dots WHERE vec_id < 8) t WHERE rk <= {IVF_MAX_PROBES}),
+        cand AS (
+          SELECT pc.query_id, pc.cell_rank, a.vec_id AS neighbor_id
+          FROM probe_cells pc JOIN assign a ON a.cell = pc.cell
+          WHERE a.vec_id <> pc.query_id),
+        depths AS (SELECT 1 AS n_probe UNION ALL SELECT 2),
+        bf AS ({_bf_topk_sql(dialect, table)})
+        SELECT bf.query_id, d.n_probe,
+               CAST(count(c.neighbor_id) AS BIGINT) AS n_hits,
+               round(CAST(count(c.neighbor_id) AS DOUBLE) / 5.0, 4) AS cell_recall
+        FROM bf CROSS JOIN depths d
+        LEFT JOIN cand c
+          ON c.query_id = bf.query_id AND c.neighbor_id = bf.neighbor_id
+         AND c.cell_rank <= d.n_probe
+        GROUP BY bf.query_id, d.n_probe
+    """
+
+
+@register(
+    "sim_ivf_recall",
+    _ivf_recall_sql("duckdb", "embeddings"),
+    "Recall of the exact cosine top-5 within the IVF candidate set at "
+    f"n_probe=1..{IVF_MAX_PROBES} — the probe-count tuning gauge for the "
+    "inverted-file path, run on a sampled slice before a full-corpus "
+    "deployment (pairs with sim_pq_recall on the PQ path)",
+)
+def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(_ivf_recall_sql("spark", v))
 
 
 # ---------------------------------------------------------------------------
@@ -544,24 +619,6 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
     cbv = _pq_trained_codebook_values(spark, v)
     return spark.sql(_pq_serve_sql(v, cbv, topn=5, with_score=True))
-
-
-def _bf_topk_sql(d: str, table: str) -> str:
-    """Exact brute-force cosine top-5 for the 8 probe queries — the ground
-    truth sim_pq_recall measures the PQ approximation against."""
-    cos = _SPARK_COS if d == "spark" else _DUCK_COS
-    return f"""
-        WITH pairs AS (
-          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                 round(({cos}), 4) AS cosine
-          FROM {table} a JOIN {table} b ON a.vec_id <> b.vec_id
-          WHERE a.vec_id < 8),
-        ranked AS (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
-          FROM pairs)
-        SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5
-    """
 
 
 PQ_SHORTLIST = 50    # ADC shortlist size fed to exact reranking

@@ -42,6 +42,7 @@ AUDITED = [
     "sim_ivf_topk",
     "sim_pq_topk",
     "sim_pq_recall",
+    "sim_ivf_recall",
     "u3_payload_repair_chain",
     "mm_decode_metadata",
 ]

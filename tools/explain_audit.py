@@ -36,10 +36,12 @@ BNLJ_BASELINES = {
     "sim_bruteforce_topk",
     "sim_threshold_neighbors",
     "sim_kmeans_train",
-    # sim_pq_recall's BNLJ is its exact brute-force ground-truth side,
+    # The recall gauges' BNLJ is their exact brute-force ground-truth side,
     # deliberately scoped to the 8 probe rows (a recall gauge needs the
-    # exact answer); the PQ side under measurement is all equi-joins.
+    # exact answer; sim_ivf_recall also cross-joins the 2-row probe-depth
+    # list); the ANN side under measurement is all equi-joins.
     "sim_pq_recall",
+    "sim_ivf_recall",
 }
 
 
