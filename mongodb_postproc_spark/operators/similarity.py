@@ -279,7 +279,7 @@ def _ivf_recall_sql(dialect: str, table: str) -> str:
           SELECT pc.query_id, pc.cell_rank, a.vec_id AS neighbor_id
           FROM probe_cells pc JOIN assign a ON a.cell = pc.cell
           WHERE a.vec_id <> pc.query_id),
-        depths AS (SELECT 1 AS n_probe UNION ALL SELECT 2),
+        depths AS ({" UNION ALL ".join(f"SELECT {p} AS n_probe" for p in range(1, IVF_MAX_PROBES + 1))}),
         bf AS ({_bf_topk_sql(dialect, table)})
         SELECT bf.query_id, d.n_probe,
                CAST(count(c.neighbor_id) AS BIGINT) AS n_hits,
