@@ -305,6 +305,53 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_ivf_recall_sql("spark", v))
 
 
+def _ivf_multiprobe_sql(dialect: str, table: str) -> str:
+    """IVF top-k at n_probe={IVF_MAX_PROBES}: each probe query searches its
+    IVF_MAX_PROBES nearest cells instead of one — the deployment form of
+    what sim_ivf_recall measured (recall 0.20 -> 0.45 on this corpus for a
+    2x candidate budget). Candidate volume stays bounded by probed cell
+    sizes; the exact-cosine rerank touches only candidates, never n²."""
+    return f"""
+        WITH {_ivf_base_ctes(dialect, table)},
+        probe_cells AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell ASC) AS rk
+            FROM dots WHERE vec_id < 8) t WHERE rk <= {IVF_MAX_PROBES}),
+        cand AS (
+          SELECT pc.query_id, a.vec_id AS neighbor_id
+          FROM probe_cells pc JOIN assign a ON a.cell = pc.cell
+          WHERE a.vec_id <> pc.query_id),
+        pairs AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(sum(eq.v * ec.v)
+                       / (sqrt(sum(eq.v * eq.v)) * sqrt(sum(ec.v * ec.v))), 4) AS cosine
+          FROM cand c
+          JOIN ex eq ON eq.vec_id = c.query_id
+          JOIN ex ec ON ec.vec_id = c.neighbor_id AND ec.pos = eq.pos
+          GROUP BY c.query_id, c.neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+          FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """
+
+
+@register(
+    "sim_ivf_multiprobe_topk",
+    _ivf_multiprobe_sql("duckdb", "embeddings"),
+    f"IVF top-k at n_probe={IVF_MAX_PROBES}: probe the query's "
+    f"{IVF_MAX_PROBES} nearest cells and exact-rerank only their members — "
+    "the deployment form of the probe-count trade sim_ivf_recall measures "
+    "(2x candidate budget for 0.20 -> 0.45 recall on this corpus)",
+)
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(_ivf_multiprobe_sql("spark", v))
+
+
 # ---------------------------------------------------------------------------
 # K-means training for the IVF coarse quantizer
 # ---------------------------------------------------------------------------

@@ -52,6 +52,7 @@ SUBSET_SF001 = [
     "sim_pq_topk",
     "sim_pq_recall",
     "sim_ivf_recall",
+    "sim_ivf_multiprobe_topk",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]

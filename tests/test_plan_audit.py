@@ -43,6 +43,7 @@ AUDITED = [
     "sim_pq_topk",
     "sim_pq_recall",
     "sim_ivf_recall",
+    "sim_ivf_multiprobe_topk",
     "u3_payload_repair_chain",
     "mm_decode_metadata",
 ]
