@@ -560,3 +560,61 @@ def _bpe_tokens_sql(dialect: str, v: str = "documents") -> str:
 def text_token_bpe_regex(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf)
     return spark.sql(_bpe_tokens_sql("spark", v))
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal
+# --------------------------------------------------------------------------
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "  # letters + space
+
+
+def _char_entropy_sql(table: str) -> str:
+    """Shannon entropy of the per-document character distribution over
+    letters + space — the gibberish/boilerplate screen in published corpus
+    curation rule sets (a run of one repeated character scores ~0 bits; a
+    natural-language mix scores ~4). Counting is explode-free: each
+    character's count is length(text) - length(replace(text, c, '')), 27
+    vectorized expressions per row, so the operator is a pure projection —
+    no shuffle at any corpus size. The SAME SQL string runs on Spark and
+    DuckDB (only the table name differs); entropy rounds to 4dp, well
+    inside cross-engine libm agreement (precedent: a9's exp/pow oracle at
+    6dp)."""
+    n = len(ENTROPY_ALPHABET)
+    c_exprs = ",\n               ".join(
+        "CAST(length(text) - length(replace(text, "
+        + ("' '" if ch == " " else f"'{ch}'")
+        + f", '')) AS DOUBLE) AS c{i}"
+        for i, ch in enumerate(ENTROPY_ALPHABET)
+    )
+    total = " + ".join(f"c{i}" for i in range(n))
+    terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN (c{i} / total) * log2(c{i} / total) ELSE 0.0 END"
+        for i in range(n)
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(total AS BIGINT) AS n_alpha,
+               round(-({terms}), 4) AS char_entropy
+        FROM (
+          SELECT doc_id, {total} AS total,
+                 {", ".join(f"c{i}" for i in range(n))}
+          FROM (
+            SELECT doc_id,
+               {c_exprs}
+            FROM {table}) raw) t
+        WHERE total > 0
+    """
+
+
+@register(
+    "text_char_entropy",
+    _char_entropy_sql("documents"),
+    "Per-document character-distribution Shannon entropy over letters+space "
+    "(the gibberish / repeated-character screen in corpus-curation rule "
+    "sets) — 27 replace-diff counts per row, a pure shuffle-free projection "
+    "at any corpus size",
+)
+def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_char_entropy_sql(v))
