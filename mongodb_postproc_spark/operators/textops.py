@@ -618,3 +618,45 @@ def _char_entropy_sql(table: str) -> str:
 def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf)
     return spark.sql(_char_entropy_sql(v))
+
+
+def _repetition_sql(d: str, table: str) -> str:
+    """Per-document repetition statistics — the repetition screens in
+    published corpus-curation rule sets (a template-stamped or looping
+    document shows a low distinct-word ratio and a high top-word share
+    long before a human reads it). Two-level hash aggregate over exploded
+    words: keys are (doc_id, word) then doc_id — high-cardinality,
+    skew-free, fully map-side combined; n-gram variants reuse the shingle
+    machinery above."""
+    if d == "spark":
+        words = (f"SELECT doc_id, w FROM {table} "
+                 "LATERAL VIEW explode(split(text, ' ')) AS w WHERE w <> ''")
+    else:
+        words = (f"SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+                 f"FROM {table}")
+    return f"""
+        WITH words AS (SELECT * FROM ({words}) x WHERE w <> ''),
+        wc AS (
+          SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        agg AS (
+          SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+                 max(c) AS top_c
+          FROM wc GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio,
+               round(CAST(top_c AS DOUBLE) / n_words, 4) AS top_word_ratio
+        FROM agg
+    """
+
+
+@register(
+    "text_repetition_stats",
+    _repetition_sql("duckdb", "documents"),
+    "Per-document repetition screens (distinct-word ratio, top-word share) "
+    "— the template/looping-text filters of corpus-curation rule sets; "
+    "two-level map-side-combined hash aggregate, skew-free keys",
+)
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_repetition_sql("spark", v))
