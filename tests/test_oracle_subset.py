@@ -55,6 +55,8 @@ SUBSET_SF001 = [
     "sim_ivf_multiprobe_topk",
     "text_char_entropy",
     "text_repetition_stats",
+    "au_decode_metadata",
+    "au_afp_near_dup_bands",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]
