@@ -57,6 +57,8 @@ SUBSET_SF001 = [
     "text_repetition_stats",
     "au_decode_metadata",
     "au_afp_near_dup_bands",
+    "vid_decode_metadata",
+    "vid_scene_cut_framesample",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]
