@@ -30,8 +30,17 @@ chain of regex rewrites):
      cannot contain ``%``, and only unreserved characters (never
      delimiters) are ever decoded, so parsing is unaffected.
 
-IDN (punycode) host normalization remains out of scope (the synthetic web
-is ASCII hosts); noted here so the gap is explicit.
+  9. IDN (punycode) host normalization: a non-ASCII host maps to its IDNA
+     ToASCII (xn--) form, so ``http://bücher.example/`` and
+     ``http://xn--bcher-kva.example/`` share one seen-set key. The Python
+     twin applies it inline (:func:`canonicalize_py`); the Spark side keeps
+     the per-URL hot path 100% native and fixes the (rare) non-ASCII subset
+     via :func:`idn_normalize_urls` — an Arrow-batched stage with a
+     per-batch unique-host memo — which the engine gates on a free
+     ``observe`` counter (crawl/engine.py ``_idn_fix``): an all-ASCII web
+     pays zero extra jobs. Non-ASCII characters in the PATH are left raw on
+     both sides (the RFC 3987→3986 UTF-8 percent-encoding mapping is out of
+     scope; keys stay consistent because both twins agree).
 """
 
 from __future__ import annotations
@@ -65,6 +74,31 @@ def _pct_normalize_py(s: str) -> str:
     return _PCT_RE.sub(repl, s) if "%" in s else s
 
 
+def idn_host_py(host: str) -> str:
+    """IDNA ToASCII (punycode) of a non-ASCII host, label-by-label via the
+    stdlib ``idna`` codec (RFC 3490 nameprep + Bootstring — public spec).
+    Hosts the codec rejects (empty labels, over-long labels) pass through
+    unchanged rather than failing the whole URL — the crawl treats them as
+    opaque keys, exactly as the reference treats malformed ids
+    (findMissingPages.py:33-42 keeps whatever string it extracted)."""
+    if host.isascii():
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return host
+
+
+def _idn_authority_py(authority: str) -> str:
+    """Apply IDN host mapping inside an authority that may carry a port."""
+    if authority.isascii():
+        return authority
+    head, sep, tail = authority.rpartition(":")
+    if sep and tail.isdigit():
+        return idn_host_py(head) + ":" + tail
+    return idn_host_py(authority)
+
+
 def canonicalize_py(url: str | None) -> str | None:
     """Pure-Python canonicalizer (oracle side)."""
     if url is None:
@@ -84,6 +118,7 @@ def canonicalize_py(url: str | None) -> str | None:
         authority = re.sub(r":80$", "", authority)
     elif scheme == "https":
         authority = re.sub(r":443$", "", authority)
+    authority = _idn_authority_py(authority)
     if not authority:
         return None
     qpos = rest.find("?")
@@ -213,3 +248,51 @@ def host_col(url_canon: Column) -> Column:
 def host_py(url_canon: str) -> str:
     m = re.match(r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", url_canon)
     return m.group(1) if m else ""
+
+
+ASCII_URL_RE = r"^[\x00-\x7F]*$"  # native gate for the IDN rare path
+
+_AUTH_SPLIT_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*://)([^/?#]*)(.*)$", re.S)
+
+
+def idn_normalize_urls(df: "DataFrame") -> "DataFrame":  # noqa: F821
+    """Rewrite non-ASCII hosts of already-canonical URLs to their IDNA
+    (xn--) form — the Spark twin of step 9 in :func:`canonicalize_py`.
+
+    Schema-preserving: recomputes ``url_canon`` and ``host`` and carries
+    every other column through. Arrow-batched ``mapInPandas`` with a
+    per-batch unique-authority memo (hosts repeat heavily within a batch),
+    intended ONLY for the observation-gated non-ASCII subset — the ASCII
+    hot path never enters this stage (see crawl/engine.py ``_idn_fix``).
+    """
+    import pandas as pd  # local: keep module import light for the oracle side
+
+    schema = df.schema
+    cols = df.columns
+
+    def fix(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            memo: dict[str, str] = {}
+
+            def fix_url(u: str) -> str:
+                m = _AUTH_SPLIT_RE.match(u)
+                if not m:
+                    return u
+                auth = m.group(2)
+                if auth not in memo:
+                    memo[auth] = _idn_authority_py(auth)
+                return m.group(1) + memo[auth] + m.group(3)
+
+            out = pdf.copy()
+            out["url_canon"] = pd.Series(
+                [fix_url(u) for u in pdf["url_canon"]], index=pdf.index
+            )
+            out["host"] = pd.Series(
+                [host_py(u) for u in out["url_canon"]], index=pdf.index
+            )
+            yield out[cols]
+
+    return df.mapInPandas(fix, schema)

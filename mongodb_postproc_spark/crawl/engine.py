@@ -68,7 +68,12 @@ from pyspark.sql import functions as F
 from ..datagen.images import decode_image, make_images
 from ..datagen.web import CrawlConfig, SyntheticWeb
 from ..tables import TableCatalog
-from .canonicalize import canonical_url_col, host_col
+from .canonicalize import (
+    ASCII_URL_RE,
+    canonical_url_col,
+    host_col,
+    idn_normalize_urls,
+)
 from .ordering import assign_global_seq
 from .seen import (
     Bloom,
@@ -441,6 +446,29 @@ class CrawlEngine:
         )
         return definite_new.unionByName(confirmed_new)
 
+    def _idn_fix(self, new_urls: DataFrame, seen: DataFrame, state: dict) -> DataFrame:
+        """IDN (punycode) key normalization — the observation-gated rare path.
+
+        Runs only in rounds where the free ``observe`` counter saw non-ASCII
+        canonical URLs. The non-ASCII subset (tiny by construction — hosts
+        are low-cardinality) is rewritten to xn-- form, then pushed back
+        through :meth:`_dedup_filter_unseen` TOGETHER with any ASCII rows
+        whose key it now collides with, so first-discovery semantics stay
+        exact (min discovery_ts wins across spellings, same as if IDN had
+        been applied before the first dedup) and the patched keys get a real
+        seen probe (their pre-patch spelling was probed under the wrong
+        key). Re-probing the colliding ASCII rows is idempotent. ASCII rows
+        with no collision pass through untouched — no shuffle, no Python.
+        """
+        ascii_ok = F.col("url_canon").rlike(ASCII_URL_RE)
+        fixed = idn_normalize_urls(new_urls.filter(~ascii_ok))
+        fixed_keys = F.broadcast(fixed.select("url_canon").distinct())
+        ascii_rows = new_urls.filter(ascii_ok)
+        untouched = ascii_rows.join(fixed_keys, "url_canon", "left_anti")
+        colliding = ascii_rows.join(fixed_keys, "url_canon", "left_semi")
+        redone = self._dedup_filter_unseen(colliding.unionByName(fixed), seen, state)
+        return untouched.unionByName(redone.select(*untouched.columns))
+
     def _append_seen_state(self, new_urls: DataFrame, epoch: int) -> None:
         if not self.use_bloom:
             return
@@ -704,7 +732,19 @@ class CrawlEngine:
 
         # -- first-discovery dedup + seen-set check (bucketed Bloom probe +
         #    exact anti-join confirmer), one materialization for all sinks
-        new_urls = self._dedup_filter_unseen(children, seen, state).localCheckpoint(eager=True)
+        # the IDN gate rides the checkpoint job as an observe metric — an
+        # all-ASCII web (the common case) pays zero extra jobs for step 9
+        obs_idn = Observation(f"r{rnd}_idn")
+        new_urls = (
+            self._dedup_filter_unseen(children, seen, state)
+            .observe(
+                obs_idn,
+                F.sum((~F.col("url_canon").rlike(ASCII_URL_RE)).cast("long")).alias("n_idn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if int(obs_idn.get["n_idn"] or 0):
+            new_urls = self._idn_fix(new_urls, seen, state).localCheckpoint(eager=True)
         tm.mark("extract+dedup+unseen")
         allowed_new, blocked_new = self._split_robots(new_urls, robots)
 

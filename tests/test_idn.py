@@ -1,0 +1,122 @@
+"""IDN (punycode) host canonicalization — twin parity + the engine's
+observation-gated rare path (canonicalize.py step 9, engine._idn_fix)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mongodb_postproc_spark.crawl.canonicalize import (
+    ASCII_URL_RE,
+    canonical_url_col,
+    canonicalize_py,
+    idn_host_py,
+    idn_normalize_urls,
+)
+from mongodb_postproc_spark.crawl.engine import FRONTIER_COLS, CrawlEngine
+from mongodb_postproc_spark.datagen.web import CrawlConfig, WebConfig
+
+UNICODE_URLS = [
+    "http://Bücher.example/p/1",
+    "http://xn--bcher-kva.example/p/1",  # same key as the line above
+    "http://bücher.example:8080/p?b=2&a=1",
+    "http://日本語.example/x/../p",
+    "http://hoſt1.test/p/3",  # nameprep folds to plain ascii host1.test
+    "http://host①.test/p/3",  # NFKC folds ① -> 1
+    "https://πρόβλημα.example:443/",
+    "http://mixed.example/päth/stays/raw",  # non-ASCII PATH: left alone
+]
+
+
+def test_python_twin_idn():
+    assert canonicalize_py("http://Bücher.example/p/1") == (
+        "http://xn--bcher-kva.example/p/1"
+    )
+    # unicode and punycode spellings share one seen-set key
+    assert canonicalize_py("http://bücher.example/p/1") == canonicalize_py(
+        "http://xn--bcher-kva.example/p/1"
+    )
+    # port survives, host converts
+    assert canonicalize_py("http://bücher.example:8080/p") == (
+        "http://xn--bcher-kva.example:8080/p"
+    )
+    # nameprep can fold unicode to plain ascii
+    assert canonicalize_py("http://hoſt1.test/p/3") == "http://host1.test/p/3"
+    # hosts the codec rejects pass through as opaque keys, never crash
+    assert idn_host_py("ü" * 100) == "ü" * 100
+    assert idn_host_py("...") == "..."
+
+
+def test_spark_pipeline_matches_python_twin(spark):
+    """The engine-side pipeline (native canonicalize, then idn_normalize_urls
+    on the non-ASCII subset only) must equal canonicalize_py bytewise."""
+    pdf = pd.DataFrame({"raw": UNICODE_URLS})
+    base = (
+        spark.createDataFrame(pdf)
+        .withColumn("url_canon", canonical_url_col(F.col("raw")))
+        .withColumn("host", F.lit(""))
+        .filter(F.col("url_canon").isNotNull())
+    )
+    ascii_ok = F.col("url_canon").rlike(ASCII_URL_RE)
+    fixed = idn_normalize_urls(base.filter(~ascii_ok))
+    out = {r["raw"]: r["url_canon"]
+           for r in base.filter(ascii_ok).unionByName(fixed).collect()}
+    for raw in UNICODE_URLS:
+        assert out[raw] == canonicalize_py(raw), raw
+
+
+def test_idn_normalize_preserves_other_columns(spark):
+    pdf = pd.DataFrame(
+        {
+            "url_canon": ["http://bücher.example/p/1", "http://ascii.test/q"],
+            "host": ["bücher.example", "ascii.test"],
+            "payload": [11, 22],
+        }
+    )
+    out = idn_normalize_urls(spark.createDataFrame(pdf)).orderBy("payload").collect()
+    assert out[0]["url_canon"] == "http://xn--bcher-kva.example/p/1"
+    assert out[0]["host"] == "xn--bcher-kva.example"
+    assert out[0]["payload"] == 11
+    assert out[1]["url_canon"] == "http://ascii.test/q"  # ascii untouched
+    assert out[1]["payload"] == 22
+
+
+@pytest.fixture(scope="module")
+def mini_engine(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("idn_crawl"))
+    cfg = CrawlConfig(
+        n_seeds=4, max_rounds=1, per_host_cap=3,
+        web=WebConfig(n_hosts=4, hot_pages=40, cold_pages=10, seed="idn-v1"),
+    )
+    eng = CrawlEngine(spark, cfg, wd)
+    eng.run()
+    return eng
+
+
+def test_engine_idn_fix_semantics(spark, mini_engine):
+    """_idn_fix must (a) collapse spellings to one first-discovery row,
+    (b) drop rows whose IDN key is already in the seen set, and (c) pass
+    untouched ASCII rows through unchanged."""
+    eng = mini_engine
+    state = eng.load_state()
+    seen = eng._read("seen", state)
+    seen_url = seen.limit(1).collect()[0]["url_canon"]
+    assert seen_url.startswith("http://host")
+    ghost = "http://hoſt" + seen_url[len("http://host"):]  # folds to seen_url
+    rows = [
+        # unicode + punycode spellings of one NEW url; ts 7 must win
+        ("http://bücher.example/p/1", "bücher.example", 1, 9, 1),
+        ("http://xn--bcher-kva.example/p/1", "xn--bcher-kva.example", 1, 7, 1),
+        # unicode spelling whose IDN key is ALREADY seen -> filtered out
+        (ghost, "ghost", 1, 5, 1),
+        # plain new ascii row -> untouched
+        ("http://brand.new.test/p", "brand.new.test", 1, 3, 1),
+    ]
+    new_urls = spark.createDataFrame(rows, FRONTIER_COLS)
+    got = {r["url_canon"]: r for r in eng._idn_fix(new_urls, seen, state).collect()}
+    assert set(got) == {
+        "http://xn--bcher-kva.example/p/1",
+        "http://brand.new.test/p",
+    }
+    assert got["http://xn--bcher-kva.example/p/1"]["discovery_ts"] == 7
+    assert got["http://xn--bcher-kva.example/p/1"]["host"] == "xn--bcher-kva.example"
+    assert got["http://brand.new.test/p"]["discovery_ts"] == 3

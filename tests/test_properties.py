@@ -84,6 +84,26 @@ def test_canonicalize_py_idempotent(seed):
         assert canonicalize_py(c) == c, (u, c, canonicalize_py(c))
 
 
+_IDN_ALPHABET = "abü日本語πрусскийñçø①ſ-."
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_IDN_ALPHABET, min_size=1, max_size=20))
+def test_canonicalize_py_idn_idempotent_and_collapsing(host):
+    """IDN canonical keys are fixed points, and the unicode spelling and its
+    xn-- form share one key (what the seen-set dedup hinges on)."""
+    u = f"http://{host}/p/1"
+    c = canonicalize_py(u)
+    if c is None:
+        return
+    assert canonicalize_py(c) == c, (u, c)
+    # the canonical key's own host is already fully normalized
+    from mongodb_postproc_spark.crawl.canonicalize import host_py, idn_host_py
+
+    h = host_py(c)
+    assert idn_host_py(h) == h, (u, c, h)
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.text(
