@@ -660,3 +660,132 @@ def _repetition_sql(d: str, table: str) -> str:
 def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf)
     return spark.sql(_repetition_sql("spark", v))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF feature extraction and sequence packing
+# --------------------------------------------------------------------------
+
+
+def _idf_sql(dialect: str, docs: str) -> str:
+    """Corpus document-frequency / IDF table. One explode + one hash agg on
+    `token` (high-cardinality, skew-free at corpus scale), plus a 1-row count
+    broadcast-joined in — the standard first stage of any TF-IDF / rare-word
+    curation rule. At 100 TB the vocabulary table is millions of rows, never
+    a funnel. IDF is rounded to 4dp so the cross-engine float hash is stable
+    against last-ulp libm ln() differences."""
+    if dialect == "spark":
+        toks = f"SELECT doc_id, explode(array_distinct(split(trim(text), '\\\\s+'))) AS token FROM {docs}"
+    else:
+        toks = f"SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token FROM {docs}"
+    return f"""
+        WITH toks AS ({toks}),
+        df AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM {docs})
+        SELECT token, CAST(df AS BIGINT) AS df,
+               round(ln(CAST(n_docs AS DOUBLE) / df), 4) AS idf
+        FROM df CROSS JOIN n
+    """
+
+
+@register(
+    "text_idf_table",
+    _idf_sql("duckdb", "documents"),
+    "Corpus DF/IDF vocabulary table (distinct-token document frequency + "
+    "log-inverse weight) — the shared statistics stage of TF-IDF scoring "
+    "and rare/common-word curation filters",
+)
+def text_idf_table(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_idf_sql("spark", v))
+
+
+def _tfidf_topk_sql(dialect: str, docs: str) -> str:
+    """Per-document top-3 TF-IDF terms. Ranking is by the INTEGER skeleton
+    (term count DESC, document frequency ASC, token ASC) — exactly the
+    ordering TF-IDF induces when n_tokens and n_docs are constant within a
+    document — so the row_number is exact on both engines; the float tfidf
+    value is reported (4dp) but never compared or ordered on. Plan: explode →
+    two hash aggs → broadcast the vocab DF table → per-doc window over ≤
+    |doc| rows. The window partitions on doc_id (perfectly parallel)."""
+    if dialect == "spark":
+        toks = f"SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS token FROM {docs}"
+    else:
+        toks = f"SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM {docs}"
+    return f"""
+        WITH toks AS ({toks}),
+        tf AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY doc_id, token),
+        ntok AS (SELECT doc_id, sum(cnt) AS n_tokens FROM tf GROUP BY doc_id),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM {docs}),
+        dfn AS (SELECT df.token, df.df, n.n_docs FROM df CROSS JOIN n),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.cnt, dfn.df, ntok.n_tokens,
+                 round(CAST(tf.cnt AS DOUBLE) / ntok.n_tokens
+                       * ln(CAST(dfn.n_docs AS DOUBLE) / dfn.df), 4) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.cnt DESC, dfn.df ASC, tf.token ASC) AS rnk
+          FROM tf
+          JOIN dfn ON tf.token = dfn.token
+          JOIN ntok ON tf.doc_id = ntok.doc_id)
+        SELECT doc_id, token, CAST(cnt AS BIGINT) AS cnt,
+               CAST(df AS BIGINT) AS df, tfidf, CAST(rnk AS INT) AS rnk
+        FROM scored WHERE rnk <= 3
+    """
+
+
+@register(
+    "text_tfidf_topk",
+    _tfidf_topk_sql("duckdb", "documents"),
+    "Per-document top-3 TF-IDF terms (integer-exact rank, float value "
+    "reported) — keyword/feature extraction for curation and retrieval",
+)
+def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_tfidf_topk_sql("spark", v))
+
+
+PACK_BUDGET = 512  # tokens per training context window
+
+
+def _context_pack_sql(dialect: str, docs: str) -> str:
+    """Sequence packing: assign documents to fixed token-budget context
+    windows in doc_id order WITHIN each source shard, then emit the packing
+    manifest (docs + token fill per window). window_id = floor(tokens-before
+    / budget), i.e. back-to-back concatenation with documents spanning a
+    boundary charged to the window they start in — the deterministic packing
+    rule of pretraining batch builders. Partitioning on `source` is the
+    point: a real pipeline packs per input shard, so the running-sum window
+    is per-shard (parallel, no global funnel); shard counts at 100 TB are
+    O(10^5), far above executor count."""
+    if dialect == "spark":
+        ntok = "size(split(trim(text), '\\\\s+'))"
+    else:
+        ntok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    return f"""
+        WITH t AS (SELECT doc_id, source, {ntok} AS n_tokens FROM {docs}),
+        packed AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS window_id
+          FROM t)
+        SELECT source, window_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS window_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM packed GROUP BY source, window_id
+    """
+
+
+@register(
+    "pipeline_context_pack",
+    _context_pack_sql("duckdb", "documents"),
+    "Sequence packing manifest: documents concatenated into fixed "
+    "token-budget context windows per source shard (running-sum window, "
+    "per-shard parallel) — the batch-construction step of a pretraining "
+    "data pipeline",
+)
+def pipeline_context_pack(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view(spark, sf)
+    return spark.sql(_context_pack_sql("spark", v))

@@ -59,6 +59,9 @@ SUBSET_SF001 = [
     "au_afp_near_dup_bands",
     "vid_decode_metadata",
     "vid_scene_cut_framesample",
+    "text_idf_table",
+    "text_tfidf_topk",
+    "pipeline_context_pack",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]

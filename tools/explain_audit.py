@@ -42,6 +42,12 @@ BNLJ_BASELINES = {
     # list); the ANN side under measurement is all equi-joins.
     "sim_pq_recall",
     "sim_ivf_recall",
+    # TF-IDF's corpus-size scalar: a 1-row count() broadcast CROSS JOINed
+    # onto the vocab table — Catalyst folds any constant-key equi-join to
+    # this same trivially-true BNLJ, and with a 1-row build side it IS the
+    # optimal plan (broadcast one row, zero shuffle).
+    "text_idf_table",
+    "text_tfidf_topk",
 }
 
 
@@ -58,7 +64,7 @@ def audit_plan(plan: str, name: str = "") -> list[str]:
         if "Sort [" not in plan:
             smells.append("single-part")
     scans = re.findall(r"FileScan parquet[^\n]*", plan)
-    has_filter = "Filter (" in plan or "PushedFilters: \[" in plan
+    has_filter = "Filter (" in plan or "PushedFilters: [" in plan
     for s in scans:
         if "PushedFilters: []" in s and has_filter and "Filter" in plan:
             # only report when the plan filters right above a pushless scan
