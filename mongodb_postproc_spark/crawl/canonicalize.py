@@ -250,7 +250,18 @@ def host_py(url_canon: str) -> str:
     return m.group(1) if m else ""
 
 
-ASCII_URL_RE = r"^[\x00-\x7F]*$"  # native gate for the IDN rare path
+ASCII_URL_RE = r"^[\x00-\x7F]*$"  # the IDN rare-path gate, regex form
+
+
+def is_ascii_col(name: str):
+    """All-ASCII test as a byte-count compare: in UTF-8 every non-ASCII
+    character encodes to >=2 bytes, so octet_length == char_length iff the
+    string matches ``ASCII_URL_RE`` — two native length calls instead of a
+    per-row regex on the crawl hot path (the gate runs over every newly
+    discovered URL every round)."""
+    from pyspark.sql import functions as F
+
+    return F.octet_length(F.col(name)) == F.length(F.col(name))
 
 _AUTH_SPLIT_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*://)([^/?#]*)(.*)$", re.S)
 

@@ -69,10 +69,10 @@ from ..datagen.images import decode_image, make_images
 from ..datagen.web import CrawlConfig, SyntheticWeb
 from ..tables import TableCatalog
 from .canonicalize import (
-    ASCII_URL_RE,
     canonical_url_col,
     host_col,
     idn_normalize_urls,
+    is_ascii_col,
 )
 from .ordering import assign_global_seq
 from .seen import (
@@ -460,7 +460,7 @@ class CrawlEngine:
         key). Re-probing the colliding ASCII rows is idempotent. ASCII rows
         with no collision pass through untouched — no shuffle, no Python.
         """
-        ascii_ok = F.col("url_canon").rlike(ASCII_URL_RE)
+        ascii_ok = is_ascii_col("url_canon")
         fixed = idn_normalize_urls(new_urls.filter(~ascii_ok))
         fixed_keys = F.broadcast(fixed.select("url_canon").distinct())
         ascii_rows = new_urls.filter(ascii_ok)
@@ -739,7 +739,7 @@ class CrawlEngine:
             self._dedup_filter_unseen(children, seen, state)
             .observe(
                 obs_idn,
-                F.sum((~F.col("url_canon").rlike(ASCII_URL_RE)).cast("long")).alias("n_idn"),
+                F.sum((~is_ascii_col("url_canon")).cast("long")).alias("n_idn"),
             )
             .localCheckpoint(eager=True)
         )
