@@ -110,6 +110,8 @@ def _golden() -> list[dict]:
                 "phash": int(img["phash"]),
                 "phash_small": phash64(small),
                 "thumb_mean": _round4(float(small.mean())),
+                "n_bytes": len(img["bytes"]),
+                "caption_len": len(img["caption"]),
             }
         )
     return rows
@@ -255,3 +257,143 @@ def mm_phash_bands(spark: SparkSession, sf: str) -> DataFrame:
          AND a.image_id < b.image_id
         GROUP BY a.image_id, b.image_id
     """)
+
+
+# ----------------------------------------------------- curation battery
+# Training-data curation over the image+caption landing table — the three
+# gates every large-scale image-text pipeline runs before packing shards
+# (the image-axis analog of pipeline_corpus_curation on documents). All
+# three are pure native SQL over typed metadata: the binary column is
+# touched only by octet_length, so Catalyst prunes the decode entirely.
+_MIN_DIM = 48
+_ASPECT_LO, _ASPECT_HI = 0.8, 1.25
+_MAX_BYTES = 3000
+_MIN_CAPTION = 46
+_SHARD_BYTES = 7500
+
+_CURATE_CASE = """
+    CASE
+      WHEN w < {md} OR h < {md} THEN 'too_small'
+      WHEN w * 1.0 / h < {alo} OR w * 1.0 / h > {ahi} THEN 'bad_aspect'
+      WHEN n_bytes > {mb} THEN 'too_heavy'
+      WHEN caption_len < {mc} THEN 'short_caption'
+      ELSE 'keep'
+    END
+""".format(md=_MIN_DIM, alo=_ASPECT_LO, ahi=_ASPECT_HI, mb=_MAX_BYTES,
+           mc=_MIN_CAPTION)
+
+
+@register(
+    "mm_image_curation_filter",
+    f"""
+    SELECT exp.image_id, exp.w, exp.h, exp.n_bytes, exp.caption_len,
+           {_CURATE_CASE} AS reject_reason
+    FROM {_values_table(['doc_id', 'image_id', 'w', 'h', 'n_bytes', 'caption_len'])}
+    JOIN documents d ON d.doc_id = exp.doc_id
+    """,
+    "Image-text curation gate (LAION-style): min-dimension, aspect-ratio "
+    "band, payload-size cap, caption-length floor — first failing rule "
+    "reported per row, all rules live on this corpus. Native SQL on typed "
+    "metadata; the binary column costs one octet_length, never a decode. "
+    "Golden-oracle checked",
+)
+def mm_image_curation_filter(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = _images_df(spark, sf).select(
+        "image_id", "w", "h",
+        F.octet_length("bytes").alias("n_bytes"),
+        F.length("caption").alias("caption_len"),
+    )
+    imgs.createOrReplaceTempView("v_mm_meta")
+    return spark.sql(f"""
+        SELECT image_id, w, h, n_bytes, caption_len,
+               {_CURATE_CASE} AS reject_reason
+        FROM v_mm_meta
+    """)
+
+
+@register(
+    "mm_caption_dedup_keep_best",
+    f"""
+    WITH imgs AS (
+      SELECT exp.image_id, exp.w, exp.h, exp.phash & 65535 AS band_val,
+             exp.caption_len
+      FROM {_values_table(['doc_id', 'image_id', 'w', 'h', 'phash', 'caption_len'])}
+      JOIN documents d ON d.doc_id = exp.doc_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY w, h, band_val
+               ORDER BY caption_len DESC, image_id) AS rn,
+             count(*) OVER (PARTITION BY w, h, band_val) AS n_dups
+      FROM imgs)
+    SELECT image_id, w, h, band_val, caption_len, n_dups
+    FROM ranked WHERE rn = 1
+    """,
+    "Near-dup image groups keep the best caption: block on (w, h, low "
+    "phash band), rank by caption length (ties: image_id) and keep one "
+    "row per block — the keeper-selection step real image-text dedup "
+    "runs after candidate blocking (choose the best-annotated copy, not "
+    "an arbitrary one). Window rank inside blocks, no all-pairs stage. "
+    "Golden-oracle checked",
+)
+def mm_caption_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = _images_df(spark, sf).select(
+        "image_id", "w", "h",
+        (F.col("phash").bitwiseAND(F.lit(65535))).alias("band_val"),
+        F.length("caption").alias("caption_len"),
+    )
+    imgs.createOrReplaceTempView("v_mm_dedup")
+    return spark.sql("""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY w, h, band_val
+                   ORDER BY caption_len DESC, image_id) AS rn,
+                 count(*) OVER (PARTITION BY w, h, band_val) AS n_dups
+          FROM v_mm_dedup)
+        SELECT image_id, w, h, band_val, caption_len, n_dups
+        FROM ranked WHERE rn = 1
+    """)
+
+
+@register(
+    "mm_shard_pack",
+    f"""
+    WITH imgs AS (
+      SELECT d.doc_id, exp.image_id,
+             'img' || (d.doc_id % 12) || '.test' AS host, exp.n_bytes
+      FROM {_values_table(['doc_id', 'image_id', 'n_bytes'])}
+      JOIN documents d ON d.doc_id = exp.doc_id),
+    packed AS (
+      SELECT image_id, host, n_bytes,
+             sum(n_bytes) OVER (
+               PARTITION BY host ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_bytes AS start_off
+      FROM imgs)
+    SELECT image_id, host, n_bytes,
+           CAST(floor(start_off / {_SHARD_BYTES}) AS BIGINT) AS shard_id
+    FROM packed
+    """,
+    "WebDataset-style shard packing: greedy sequential byte-budget packer "
+    "per source host — running-sum window inside each host partition "
+    "assigns every image+caption record a shard id (integer-exact, no "
+    "global funnel; at cluster scale each host's window is one partition "
+    "of a hash-partitioned window exchange). Golden-oracle checked",
+)
+def mm_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    imgs = _images_df(spark, sf).select(
+        "doc_id", "image_id",
+        F.regexp_extract("url_canon", r"http://([^/]+)/", 1).alias("host"),
+        F.octet_length("bytes").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return imgs.select(
+        "image_id", "host", "n_bytes",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / F.lit(_SHARD_BYTES))
+        .cast("bigint")
+        .alias("shard_id"),
+    )

@@ -62,6 +62,9 @@ SUBSET_SF001 = [
     "text_idf_table",
     "text_tfidf_topk",
     "pipeline_context_pack",
+    "mm_image_curation_filter",
+    "mm_caption_dedup_keep_best",
+    "mm_shard_pack",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]
