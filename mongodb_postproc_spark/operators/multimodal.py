@@ -397,3 +397,191 @@ def mm_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+_BRIGHT_LO, _BRIGHT_HI = 115.0, 140.0
+_CONTRAST_MIN = 32.0
+
+_QUALITY_CASE = """
+    CASE
+      WHEN brightness < {bl} THEN 'too_dark'
+      WHEN brightness > {bh} THEN 'too_bright'
+      WHEN contrast < {cm} THEN 'low_contrast'
+      ELSE 'ok'
+    END
+""".format(bl=_BRIGHT_LO, bh=_BRIGHT_HI, cm=_CONTRAST_MIN)
+
+
+def _quality_golden() -> list[dict]:
+    """Brightness (global pixel mean) and contrast (grayscale std) per
+    image, computed by the pure-python codec path — the golden table for
+    the quality screen."""
+    rows = []
+    for r, img in zip(_G, make_images(_mm_urls([g["doc_id"] for g in _G]))):
+        px = decode_image(img["bytes"], img["fmt"]).astype(np.float64)
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "image_id": r["image_id"],
+                "brightness": _round4(float(px.mean())),
+                "contrast": _round4(float(px.mean(axis=2).std())),
+            }
+        )
+    return rows
+
+
+def _quality_values() -> str:
+    rows = ", ".join(
+        f"({r['doc_id']}, '{r['image_id']}', "
+        f"CAST({r['brightness']:.4f} AS DOUBLE), CAST({r['contrast']:.4f} AS DOUBLE))"
+        for r in _quality_golden()
+    )
+    return f"(VALUES {rows}) AS exp(doc_id, image_id, brightness, contrast)"
+
+
+@register(
+    "mm_quality_screen",
+    f"""
+    SELECT exp.image_id, exp.brightness, exp.contrast,
+           {_QUALITY_CASE} AS quality
+    FROM {{}}
+    JOIN documents d ON d.doc_id = exp.doc_id
+    """.format(_quality_values()),
+    "Image quality screen — brightness band + contrast floor over decoded "
+    "pixels (the image-modality analog of text_quality_score: the "
+    "low-information-image gate an image-text curation pipeline runs "
+    "before training). Decode in Arrow-batched mapInPandas, stats "
+    "vectorized per (w,h) shape stack; classification on the 4dp-rounded "
+    "values so both engines gate identical doubles. All four classes "
+    "live on this corpus. Golden-oracle checked",
+)
+def mm_quality_screen(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = _images_df(spark, sf)
+
+    def screen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=["image_id", "brightness", "contrast"])
+                continue
+            pxs = [decode_image(b, f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+            bright = np.empty(len(pxs))
+            contrast = np.empty(len(pxs))
+            shapes = np.array([p.shape[:2] for p in pxs])
+            for hw in {tuple(s) for s in shapes}:
+                (idx,) = np.nonzero((shapes == hw).all(axis=1))
+                stack = np.stack([pxs[i] for i in idx]).astype(np.float64)
+                bright[idx] = stack.mean(axis=(1, 2, 3))
+                gray = stack.mean(axis=3)
+                contrast[idx] = gray.reshape(len(idx), -1).std(axis=1)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "brightness": np.floor(bright * 10_000 + 0.5) / 10_000,
+                    "contrast": np.floor(contrast * 10_000 + 0.5) / 10_000,
+                }
+            )
+
+    scored = imgs.mapInPandas(
+        screen, "image_id string, brightness double, contrast double"
+    )
+    scored.createOrReplaceTempView("v_mm_quality")
+    return spark.sql(f"""
+        SELECT image_id, brightness, contrast, {_QUALITY_CASE} AS quality
+        FROM v_mm_quality
+    """)
+
+
+_PHASH_MIN_BANDS = 3
+
+
+@register(
+    "mm_phash_dedup_clusters",
+    f"""
+    WITH RECURSIVE imgs AS (
+      SELECT exp.image_id, exp.phash
+      FROM {_values_table(['doc_id', 'image_id', 'phash'])}
+      JOIN documents d ON d.doc_id = exp.doc_id),
+    bands AS (
+      SELECT image_id, b.b AS band, (phash >> (b.b * 16)) & 65535 AS band_val
+      FROM imgs, (SELECT unnest(range(0, 4)) AS b) b),
+    pairs AS (
+      SELECT a.image_id AS img_a, b.image_id AS img_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.image_id < b.image_id
+      GROUP BY a.image_id, b.image_id
+      HAVING count(*) >= {_PHASH_MIN_BANDS}),
+    edges AS (SELECT img_a AS src, img_b AS dst FROM pairs
+              UNION SELECT img_b AS src, img_a AS dst FROM pairs),
+    reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+    comps AS (SELECT node AS image_id, min(comp) AS cluster_id
+              FROM reach GROUP BY node)
+    SELECT i.image_id,
+           coalesce(c.cluster_id, i.image_id) AS cluster_id,
+           coalesce(c.cluster_id, i.image_id) = i.image_id AS is_keeper
+    FROM imgs i LEFT JOIN comps c ON c.image_id = i.image_id
+    """,
+    "Image near-dup dedup end-to-end: phash band-collision candidates "
+    "confirmed at >=3 of 4 bands (Hamming-bounded similarity), connected "
+    "components collapse each near-dup cluster to its min-image_id keeper, "
+    "singletons keep themselves — the image-modality twin of "
+    "dedup_cluster_components (same output contract, same recursive-CTE "
+    "oracle shape). Spark side: band bucket equi-join (never n²) then "
+    "min-label propagation, one aggregated shuffle per sweep. "
+    "Golden-oracle checked",
+)
+def mm_phash_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = _images_df(spark, sf).select("image_id", "phash")
+    imgs.createOrReplaceTempView("v_mm_cc_images")
+    pairs = spark.sql(f"""
+        WITH bands AS (
+          SELECT image_id, b AS band,
+                 shiftright(phash, b * 16) & 65535 AS band_val
+          FROM v_mm_cc_images LATERAL VIEW explode(sequence(0, 3)) AS b)
+        SELECT a.image_id AS img_a, b.image_id AS img_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.image_id < b.image_id
+        GROUP BY a.image_id, b.image_id
+        HAVING count(*) >= {_PHASH_MIN_BANDS}
+    """)
+    edges = (
+        pairs.selectExpr("img_a AS src", "img_b AS dst")
+        .union(pairs.selectExpr("img_b AS src", "img_a AS dst"))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("image_id"))
+        .distinct()
+        .withColumn("comp", F.col("image_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels.withColumnRenamed("image_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("dst", "image_id")
+        )
+        stepped = (
+            labels.join(nbr, "image_id", "left")
+            .select(
+                "image_id",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.least("comp", F.coalesce("nbr_comp", "comp")) != F.col("comp"))
+                .cast("long")
+                .alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = stepped.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = stepped.select("image_id", "comp").localCheckpoint()
+        if changed == 0:
+            break
+    return imgs.join(labels, "image_id", "left").select(
+        "image_id",
+        F.coalesce("comp", "image_id").alias("cluster_id"),
+        (F.coalesce("comp", "image_id") == F.col("image_id")).alias("is_keeper"),
+    )

@@ -65,6 +65,8 @@ SUBSET_SF001 = [
     "mm_image_curation_filter",
     "mm_caption_dedup_keep_best",
     "mm_shard_pack",
+    "mm_quality_screen",
+    "mm_phash_dedup_clusters",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]
