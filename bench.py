@@ -51,6 +51,8 @@ HEADLINE = [
     "pipeline_hpht_dataset_tags",
     "s20_section_parse_map",
     "mm_decode_metadata",
+    "mm_quality_screen",
+    "mm_shard_pack",
 ]
 
 BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "500000"))

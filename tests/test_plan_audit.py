@@ -46,6 +46,11 @@ AUDITED = [
     "sim_ivf_multiprobe_topk",
     "u3_payload_repair_chain",
     "mm_decode_metadata",
+    "mm_image_curation_filter",
+    "mm_caption_dedup_keep_best",
+    "mm_shard_pack",
+    "mm_quality_screen",
+    "mm_phash_dedup_clusters",
 ]
 
 HARD = {"cartesian", "bnlj", "rr-python", "single-part"}
