@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Importing the operator modules populates the registry.
 from mongodb_postproc_spark.operators import (  # noqa: E402,F401
     audioops,
+    curation,
     graph,
     inventory_ext,
     multimodal,

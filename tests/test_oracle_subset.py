@@ -67,6 +67,9 @@ SUBSET_SF001 = [
     "mm_shard_pack",
     "mm_quality_screen",
     "mm_phash_dedup_clusters",
+    "decon_ngram_overlap",
+    "curation_pii_scrub",
+    "curation_domain_mix",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]

@@ -51,6 +51,9 @@ AUDITED = [
     "mm_shard_pack",
     "mm_quality_screen",
     "mm_phash_dedup_clusters",
+    "decon_ngram_overlap",
+    "curation_pii_scrub",
+    "curation_domain_mix",
 ]
 
 HARD = {"cartesian", "bnlj", "rr-python", "single-part"}
