@@ -585,3 +585,104 @@ def mm_phash_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("comp", "image_id").alias("cluster_id"),
         (F.coalesce("comp", "image_id") == F.col("image_id")).alias("is_keeper"),
     )
+
+
+def _psnr_golden() -> list[dict]:
+    """Per-image codec-fidelity numbers from the pure-python path: MSE of
+    decode(bytes) vs the pre-codec raw pixels, and PSNR (4dp) for lossy
+    rows. Lossless rows must be bit-exact (mse 0, psnr NULL)."""
+    ids = [g["doc_id"] for g in _G]
+    imgs = make_images(_mm_urls(ids), return_raw=True)
+    rows = []
+    for g, img in zip(_G, imgs):
+        px = decode_image(img["bytes"], img["fmt"]).astype(np.float64)
+        raw = img["raw"].astype(np.float64)
+        mse = float(((px - raw) ** 2).mean())
+        psnr = None if mse == 0.0 else _round4(10.0 * np.log10(255.0**2 / mse))
+        rows.append(
+            {
+                "doc_id": g["doc_id"],
+                "image_id": g["image_id"],
+                "fmt": img["fmt"],
+                "mse": _round4(mse),
+                "psnr_db": psnr,
+                "fidelity_ok": (mse == 0.0) or (psnr is not None and psnr >= 40.0),
+            }
+        )
+    return rows
+
+
+def _psnr_values() -> str:
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS DOUBLE)"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v + "'"
+        if isinstance(v, float):
+            return f"CAST({v:.4f} AS DOUBLE)"
+        return str(v)
+
+    cols = ["doc_id", "image_id", "fmt", "mse", "psnr_db", "fidelity_ok"]
+    rows = ", ".join(
+        "(" + ", ".join(lit(r[c]) for c in cols) + ")" for r in _psnr_golden()
+    )
+    return f"(VALUES {rows}) AS exp({', '.join(cols)})"
+
+
+@register(
+    "mm_lossy_psnr",
+    f"""
+    SELECT exp.image_id, exp.fmt, exp.mse, exp.psnr_db, exp.fidelity_ok
+    FROM {{}}
+    JOIN documents d ON d.doc_id = exp.doc_id
+    """.format(_psnr_values()),
+    "Codec-fidelity audit as a distributed query — the input_hint's "
+    "per-row invariant (decoded-pixel allclose; PSNR>=40dB for lossy "
+    "formats) computed corpus-wide: each task regenerates the pre-codec "
+    "raw deterministically, decodes the landed bytes, and emits MSE + "
+    "PSNR + the pass flag. Lossless rows prove bit-exact (mse 0), lossy "
+    "rows clear 40dB; PSNR math is numpy on both the Spark stage and the "
+    "golden generator so the doubles are identical. Vectorized per (w,h) "
+    "shape stack. Golden-oracle checked",
+)
+def mm_lossy_psnr(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = _images_df(spark, sf)
+
+    def fidelity(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    columns=["image_id", "fmt", "mse", "psnr_db", "fidelity_ok"]
+                )
+                continue
+            raws = [
+                r["raw"]
+                for r in make_images(list(pdf["url_canon"]), return_raw=True)
+            ]
+            pxs = [decode_image(b, f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+            mse = np.empty(len(pxs))
+            shapes = np.array([p.shape[:2] for p in pxs])
+            for hw in {tuple(s) for s in shapes}:
+                (idx,) = np.nonzero((shapes == hw).all(axis=1))
+                dec = np.stack([pxs[i] for i in idx]).astype(np.float64)
+                raw = np.stack([raws[i] for i in idx]).astype(np.float64)
+                mse[idx] = ((dec - raw) ** 2).reshape(len(idx), -1).mean(axis=1)
+            psnr = np.where(mse == 0.0, np.nan, 10.0 * np.log10(255.0**2 / np.where(mse == 0.0, 1.0, mse)))
+            psnr4 = np.floor(psnr * 10_000 + 0.5) / 10_000
+            mse4 = np.floor(mse * 10_000 + 0.5) / 10_000
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "mse": mse4,
+                    "psnr_db": psnr4,  # NaN -> NULL for lossless rows
+                    "fidelity_ok": (mse == 0.0) | (psnr4 >= 40.0),
+                }
+            )
+
+    return imgs.mapInPandas(
+        fidelity,
+        "image_id string, fmt string, mse double, psnr_db double, fidelity_ok boolean",
+    )

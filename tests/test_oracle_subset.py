@@ -70,6 +70,7 @@ SUBSET_SF001 = [
     "decon_ngram_overlap",
     "curation_pii_scrub",
     "curation_domain_mix",
+    "mm_lossy_psnr",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]

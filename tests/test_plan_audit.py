@@ -54,6 +54,7 @@ AUDITED = [
     "decon_ngram_overlap",
     "curation_pii_scrub",
     "curation_domain_mix",
+    "mm_lossy_psnr",
 ]
 
 HARD = {"cartesian", "bnlj", "rr-python", "single-part"}
