@@ -30,6 +30,7 @@ from mongodb_postproc_spark.operators import (  # noqa: E402,F401
     scalar,
     similarity,
     textops,
+    timeseries,
     videoops,
 )
 from mongodb_postproc_spark.operators.base import REGISTRY  # noqa: E402

@@ -71,6 +71,8 @@ SUBSET_SF001 = [
     "curation_pii_scrub",
     "curation_domain_mix",
     "mm_lossy_psnr",
+    "ts_sessionize",
+    "ts_asof_last_signup",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]

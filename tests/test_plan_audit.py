@@ -55,6 +55,8 @@ AUDITED = [
     "curation_pii_scrub",
     "curation_domain_mix",
     "mm_lossy_psnr",
+    "ts_sessionize",
+    "ts_asof_last_signup",
 ]
 
 HARD = {"cartesian", "bnlj", "rr-python", "single-part"}
