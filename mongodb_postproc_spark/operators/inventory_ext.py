@@ -382,3 +382,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) p
         WHERE cosine >= 0.30
     """)
+
+
+# --------------------------------------------------------------------------
+# Standard-aggregate completions: exact percentiles, order-free correlation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a18_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact interpolated percentiles per group (p50/p90/p99) — Spark "
+    "percentile() and DuckDB quantile_cont share the (n-1)*q linear-"
+    "interpolation definition, so the doubles match exactly. Exact "
+    "percentile is a full-sort-per-group at heart; Spark's implementation "
+    "aggregates a per-partition counts-map first (quantities are "
+    "low-cardinality), so the shuffle carries the histogram, not the rows "
+    "— the approx_percentile swap is documented for truly continuous "
+    "columns at 10^10 rows",
+)
+def a18_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+            F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+        )
+    )
+
+
+_CORR_SQL = """
+  WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_quantity AS BIGINT)) AS sx,
+           sum(CAST(l_linenumber AS BIGINT)) AS sy,
+           sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy,
+           sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+           sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy
+    FROM lineitem GROUP BY l_returnflag)
+  SELECT l_returnflag,
+         round((n * sxy - sx * sy) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_line
+  FROM s
+"""
+
+
+@register(
+    "a19_corr_exact",
+    _CORR_SQL,
+    "Pearson correlation per group via exact integer moment sums: the five "
+    "sums are BIGINT (order-free, overflow-safe at these magnitudes), the "
+    "single closing expression is the only float op — so the result is "
+    "bit-identical on any engine, any row order, any partitioning, unlike "
+    "a streaming corr() whose float accumulation drifts with partition "
+    "count. Map-side-combined hash aggregate, one shuffle of 3 rows",
+)
+def a19_corr_exact(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "lineitem").createOrReplaceTempView("v_corr_lineitem")
+    return spark.sql(_CORR_SQL.replace("FROM lineitem", "FROM v_corr_lineitem"))
