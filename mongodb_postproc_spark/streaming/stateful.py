@@ -94,3 +94,43 @@ def politeness_slots_stream(frontier: DataFrame, delay_ms: int = 100) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SHARD_OUT = "image_id string, host string, n_bytes long, arrival_ts long, shard_id long"
+SHARD_STATE = "offset long"
+
+
+def shard_pack_fn_factory(shard_bytes: int):
+    """Greedy sequential byte-budget packer with cross-batch state: each
+    record's shard is determined by the running byte offset of its host's
+    stream at the moment it arrives (state = offset after the last record).
+    The streaming twin of the batch mm_shard_pack window — identical
+    packing decision, but the 'window' extends across micro-batches."""
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (offset,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(["arrival_ts", "image_id"]).reset_index(drop=True)
+        starts = offset + batch["n_bytes"].cumsum() - batch["n_bytes"]
+        batch["shard_id"] = (starts // shard_bytes).astype("int64")
+        state.update((int(offset + batch["n_bytes"].sum()),))
+        yield batch[["image_id", "host", "n_bytes", "arrival_ts", "shard_id"]]
+
+    return fn
+
+
+def shard_pack_stream(images: DataFrame, shard_bytes: int = 7500) -> DataFrame:
+    """Continuous WebDataset-style shard assignment for an image+caption
+    ingest stream, host-keyed (each host's shards fill independently, so
+    the operator parallelizes exactly like the batch per-host window)."""
+    return images.groupBy("host").applyInPandasWithState(
+        shard_pack_fn_factory(shard_bytes),
+        outputStructType=SHARD_OUT,
+        stateStructType=SHARD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -125,3 +125,98 @@ def test_politeness_slots_single_batch_matches_window(spark, tmp_path, delay):
     ordered = out.sort_values("slot_ms")["url_canon"].tolist()
     assert ordered == ["http://h1.test/b", "http://h1.test/c", "http://h1.test/a"]
     assert sorted(out["slot_ms"]) == [0, delay, 2 * delay]
+
+
+IMG_SCHEMA = "image_id string, host string, n_bytes long, arrival_ts long"
+
+IMG_BATCHES = [
+    [  # batch 0: two hosts, mixed sizes
+        ("im_a", "img0.test", 3000, 10),
+        ("im_b", "img0.test", 3000, 11),
+        ("im_c", "img1.test", 2000, 12),
+    ],
+    [  # batch 1: img0 crosses its 7500-byte shard boundary mid-batch
+        ("im_d", "img0.test", 3000, 20),
+        ("im_e", "img0.test", 3000, 21),
+        ("im_f", "img1.test", 6000, 22),
+    ],
+    [  # batch 2: img1 crosses; img0 keeps filling shard 1
+        ("im_g", "img1.test", 2000, 30),
+        ("im_h", "img0.test", 3000, 31),
+    ],
+]
+
+
+def _write_img_batches(tmp_path, batches):
+    d = tmp_path / "img_stream_in"
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pd.DataFrame(
+            rows, columns=["image_id", "host", "n_bytes", "arrival_ts"]
+        ).to_parquet(d / f"batch_{i:03d}.parquet", index=False)
+    return str(d)
+
+
+def test_shard_pack_stream_continues_offsets_across_batches(spark, tmp_path):
+    from mongodb_postproc_spark.streaming.stateful import shard_pack_stream
+
+    shard_bytes = 7500
+    path = _write_img_batches(tmp_path, IMG_BATCHES)
+    src = (
+        spark.readStream.schema(IMG_SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        shard_pack_stream(src, shard_bytes=shard_bytes)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_shard_pack")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM t_shard_pack").toPandas()
+
+    # sequential oracle: per-host running byte offset across all batches,
+    # in-batch order by (arrival_ts, image_id) — the exact packer contract
+    offset: dict = {}
+    expect = {}
+    for rows in IMG_BATCHES:
+        by_host: dict = {}
+        for r in rows:
+            by_host.setdefault(r[1], []).append(r)
+        for host, items in by_host.items():
+            off = offset.get(host, 0)
+            for iid, h, nb, ts in sorted(items, key=lambda r: (r[3], r[0])):
+                expect[iid] = off // shard_bytes
+                off += nb
+            offset[host] = off
+    assert len(out) == sum(len(b) for b in IMG_BATCHES)
+    for _, r in out.iterrows():
+        assert r["shard_id"] == expect[r["image_id"]], r.to_dict()
+    # the cross-batch boundary crossings actually happened: img0 (5x3000
+    # bytes, offsets 0..12000) crosses into shard 1 during batch 1; img1
+    # (2000+6000+2000, offsets 0/2000/8000) crosses during batch 2
+    assert out[out.host == "img0.test"]["shard_id"].max() == 1
+    assert out[out.host == "img1.test"]["shard_id"].max() == 1
+    assert out[out.image_id == "im_e"]["shard_id"].iloc[0] == 1
+    assert out[out.image_id == "im_g"]["shard_id"].iloc[0] == 1
+
+    # single-stream result == the batch window packer on the union of all
+    # batches (the mm_shard_pack shape): same running-sum, same floor
+    allrows = pd.DataFrame(
+        [r for b in IMG_BATCHES for r in b],
+        columns=["image_id", "host", "n_bytes", "arrival_ts"],
+    )
+    bdf = spark.createDataFrame(allrows)
+    bdf.createOrReplaceTempView("v_shard_batch")
+    batch_out = spark.sql(f"""
+        SELECT image_id,
+               CAST(floor((sum(n_bytes) OVER (PARTITION BY host
+                     ORDER BY arrival_ts, image_id
+                     ROWS UNBOUNDED PRECEDING) - n_bytes) / {shard_bytes})
+                    AS BIGINT) AS shard_id
+        FROM v_shard_batch
+    """).toPandas()
+    merged = out.merge(batch_out, on="image_id", suffixes=("_stream", "_batch"))
+    assert (merged["shard_id_stream"] == merged["shard_id_batch"]).all()
