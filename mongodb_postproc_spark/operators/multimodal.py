@@ -559,6 +559,8 @@ def mm_phash_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("comp", F.col("image_id"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     while True:
         nbr = (
             edges.join(labels.withColumnRenamed("image_id", "src"), "src")
@@ -566,19 +568,22 @@ def mm_phash_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("dst", "image_id")
         )
+        # convergence rides the checkpoint materialization as an observed
+        # metric — one Spark job per sweep (same pattern as
+        # dedup_cluster_components, textops.py)
+        obs = Observation()
         stepped = (
             labels.join(nbr, "image_id", "left")
             .select(
                 "image_id",
                 F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
-                (F.least("comp", F.coalesce("nbr_comp", "comp")) != F.col("comp"))
-                .cast("long")
-                .alias("chg"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_chg"),
             )
-        ).localCheckpoint()
-        changed = stepped.agg(F.sum("chg")).collect()[0][0] or 0
-        labels = stepped.select("image_id", "comp").localCheckpoint()
-        if changed == 0:
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("changed"))
+            .localCheckpoint()
+        )
+        labels = stepped.select("image_id", "comp")
+        if (obs.get["changed"] or 0) == 0:
             break
     return imgs.join(labels, "image_id", "left").select(
         "image_id",
