@@ -25,6 +25,13 @@ def main() -> None:
     ap.add_argument("--per-host-cap", type=int, default=50)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--hosts", type=int, default=97)
+    ap.add_argument("--hot-pages", type=int, default=5_000)
+    ap.add_argument("--cold-pages", type=int, default=500)
+    ap.add_argument("--web-seed", default="submit-v1")
+    ap.add_argument("--time-rounds", action="store_true",
+                    help="report steady-state per-round wall time (seed "
+                         "ingest untimed) for deployment-path scaling checks")
     args = ap.parse_args()
 
     # Import AFTER spark-submit has shipped the --py-files zip.
@@ -44,9 +51,35 @@ def main() -> None:
         n_seeds=args.n_seeds,
         max_rounds=args.rounds,
         per_host_cap=args.per_host_cap,
-        web=WebConfig(n_hosts=97, hot_pages=5_000, cold_pages=500, seed="submit-v1"),
+        web=WebConfig(n_hosts=args.hosts, hot_pages=args.hot_pages,
+                      cold_pages=args.cold_pages, seed=args.web_seed),
     )
     eng = CrawlEngine(spark, cfg, wd, expected_urls=max(args.n_seeds * 8, 100_000))
+    if args.time_rounds:
+        # steady-state per-round wall time through the SUBMITTED artifact —
+        # the deployment-path cross-check of bench.py's in-process scaling
+        # ladder (seed ingest untimed, same protocol as BASELINE.md)
+        import time
+
+        eng.init_crawl()
+        state = eng.load_state()
+        stats, timed = [], []
+        while state["round_completed"] + 1 < cfg.max_rounds:
+            t0 = time.monotonic()
+            out = eng.run_round(state)
+            dt = time.monotonic() - t0
+            if out is None:
+                break
+            state, s = out
+            stats.append(s)
+            timed.append(
+                {"round": s.round, "fetched": s.fetched,
+                 "seconds": round(dt, 2),
+                 "urls_per_sec": round(s.fetched / dt, 1)}
+            )
+        print(json.dumps({"workdir": wd, "rounds": timed}))
+        spark.stop()
+        return
     stats = eng.run(resume=args.resume)
     print(
         json.dumps(
