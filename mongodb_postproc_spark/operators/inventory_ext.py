@@ -450,3 +450,73 @@ _CORR_SQL = """
 def a19_corr_exact(spark: SparkSession, sf: str) -> DataFrame:
     load(spark, sf, "lineitem").createOrReplaceTempView("v_corr_lineitem")
     return spark.sql(_CORR_SQL.replace("FROM lineitem", "FROM v_corr_lineitem"))
+
+
+_ROLLUP_SQL = """
+  SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         count(*) AS n,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "a20_rollup",
+    _ROLLUP_SQL,
+    "Hierarchical rollup (the hypertable-rollup shape): per-(flag, status) "
+    "revenue plus per-flag subtotals plus the grand total in ONE pass — "
+    "GROUP BY ROLLUP expands to grouping sets inside the aggregate, so "
+    "the input is read once and partial aggregation still combines "
+    "map-side; subtotal rows are marked by coalescing the rolled-up key "
+    "to 'ALL' identically on both engines",
+)
+def a20_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "lineitem").createOrReplaceTempView("v_rollup_lineitem")
+    return spark.sql(_ROLLUP_SQL.replace("FROM lineitem", "FROM v_rollup_lineitem"))
+
+
+_TIERS = [
+    ("free", 0.0, 10.0),
+    ("bronze", 10.0, 50.0),
+    ("silver", 50.0, 120.0),
+    ("gold", 120.0, 1e9),
+]
+_TIER_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+
+@register(
+    "j9_range_join",
+    f"""
+    SELECT t.tier, count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN (VALUES {_TIER_VALUES}) AS t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+    "Range join: every event matched to its value band in a tiny tier "
+    "dimension via interval containment — the inequality-join shape the "
+    "mission brief names. With a handful of broadcast tier rows the "
+    "BroadcastNestedLoopJoin Spark picks IS the optimal plan (each event "
+    "scans 4 rows in memory, no shuffle); at a large band table the "
+    "rewrite is a band-key equi-join (bucketize the value to the band "
+    "grid), which p6_range_banding already demonstrates",
+)
+def j9_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    ev = load(spark, sf, "events")
+    tiers = ev.sparkSession.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    return (
+        ev.join(
+            FF.broadcast(tiers),
+            (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            FF.count("*").alias("n_events"),
+            FF.round(FF.sum("value"), 2).alias("total_value"),
+        )
+    )

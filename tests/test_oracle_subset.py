@@ -75,6 +75,8 @@ SUBSET_SF001 = [
     "ts_asof_last_signup",
     "a18_percentiles",
     "a19_corr_exact",
+    "a20_rollup",
+    "j9_range_join",
 ]
 # a cheap cross-check that the second scale factor stays green too
 SUBSET_SF01 = ["a11_conditional_counters", "a8_weighted_average", "s20_section_parse_map"]

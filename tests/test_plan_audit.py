@@ -57,6 +57,8 @@ AUDITED = [
     "mm_lossy_psnr",
     "ts_sessionize",
     "ts_asof_last_signup",
+    "a20_rollup",
+    "j9_range_join",
 ]
 
 HARD = {"cartesian", "bnlj", "rr-python", "single-part"}

@@ -48,6 +48,11 @@ BNLJ_BASELINES = {
     # optimal plan (broadcast one row, zero shuffle).
     "text_idf_table",
     "text_tfidf_topk",
+    # the range join's build side is the 4-row tier dimension, broadcast:
+    # each probe row scans 4 in-memory rows — the optimal plan for a tiny
+    # interval table (the large-dim rewrite is the band-grid equi-join,
+    # see p6_range_banding)
+    "j9_range_join",
 }
 
 
