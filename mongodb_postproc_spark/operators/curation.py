@@ -18,17 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import load, register
+from .textops import _docs_view
 
-# every doc whose id falls on this residue is "the benchmark/eval set" —
-# deterministic, sf-proportional, and small (~3% of the corpus), the shape
-# real decontamination has (eval sets are tiny next to the training corpus)
+# the "benchmark/eval set" is deterministic AND fixed-size: ids on the
+# mod-29 residue, capped at _BENCH_MAX docs — a real eval set does not
+# grow with the corpus, and the cap is what makes the broadcast of its
+# n-gram list valid at ANY corpus scale (at the test sfs the cap is not
+# binding, so it changes no oracle row)
 _BENCH_MOD = 29
+_BENCH_MAX = 2000 * 29  # doc_id ceiling => <= 2000 bench docs forever
 _NGRAM = 5
-
-
-def _docs_view(spark: SparkSession, sf: str, name: str) -> str:
-    load(spark, sf, "documents").createOrReplaceTempView(name)
-    return name
 
 
 def _ngrams_sql(dialect: str, src: str, where: str) -> str:
@@ -37,12 +36,15 @@ def _ngrams_sql(dialect: str, src: str, where: str) -> str:
     DuckDB: list comprehension over 1-based inclusive slices."""
     n = _NGRAM
     if dialect == "spark":
+        # split() is hoisted into a subquery: inside the transform lambda
+        # it would re-tokenize the full text at every start offset
+        # (O(words^2) per doc — HOF lambdas get no per-row CSE)
         return f"""
           SELECT doc_id,
                  explode(transform(
-                   sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),
-                   i -> array_join(slice(split(text, ' '), i, {n}), ' '))) AS ngram
-          FROM {src} WHERE {where}
+                   sequence(1, greatest(size(w) - {n - 1}, 1)),
+                   i -> array_join(slice(w, i, {n}), ' '))) AS ngram
+          FROM (SELECT doc_id, split(text, ' ') AS w FROM {src} WHERE {where})
         """.strip()
     return f"""
       SELECT doc_id,
@@ -53,8 +55,9 @@ def _ngrams_sql(dialect: str, src: str, where: str) -> str:
 
 
 def _decon_sql(dialect: str, src: str = "documents") -> str:
-    bench = _ngrams_sql(dialect, src, f"doc_id % {_BENCH_MOD} = 0")
-    train = _ngrams_sql(dialect, src, f"doc_id % {_BENCH_MOD} <> 0")
+    bench_where = f"doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MAX}"
+    bench = _ngrams_sql(dialect, src, bench_where)
+    train = _ngrams_sql(dialect, src, f"NOT ({bench_where})")
     return f"""
       WITH bench AS (SELECT DISTINCT doc_id, ngram FROM ({bench}) b),
       train AS (SELECT DISTINCT doc_id, ngram FROM ({train}) t)
@@ -69,8 +72,9 @@ def _decon_sql(dialect: str, src: str = "documents") -> str:
     "decon_ngram_overlap",
     _decon_sql("duckdb"),
     f"Eval-set decontamination: flag every training doc sharing a word "
-    f"{_NGRAM}-gram with the (deterministic, ~3%) benchmark slice, with "
-    f"the shared-ngram count per (train, bench) pair. The bench side is "
+    f"{_NGRAM}-gram with the deterministic FIXED-SIZE benchmark slice "
+    f"(mod-{_BENCH_MOD} residue capped at 2000 docs), with the "
+    f"shared-ngram count per (train, bench) pair. The bench side is "
     f"small by construction — the real-world shape: eval sets are ~10^4 "
     f"docs next to a 10^10-doc corpus, so its distinct n-gram list "
     f"broadcasts and the corpus streams through a map-side hash join; "
@@ -79,16 +83,18 @@ def _decon_sql(dialect: str, src: str = "documents") -> str:
 )
 def decon_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf, "v_decon_docs")
-    # the bench n-gram list is the small side; make the broadcast explicit
-    # rather than trusting the size estimate of a post-aggregate subtree
+    bench_where = f"doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MAX}"
+    # the bench n-gram list is the small side — bounded by the _BENCH_MAX
+    # cap at any corpus scale — so the broadcast is explicit rather than
+    # trusting the size estimate of a post-aggregate subtree
     bench = spark.sql(
         "SELECT DISTINCT doc_id AS bench_doc, ngram FROM ("
-        + _ngrams_sql("spark", v, f"doc_id % {_BENCH_MOD} = 0")
+        + _ngrams_sql("spark", v, bench_where)
         + ") b"
     )
     train = spark.sql(
         "SELECT DISTINCT doc_id AS train_doc, ngram FROM ("
-        + _ngrams_sql("spark", v, f"doc_id % {_BENCH_MOD} <> 0")
+        + _ngrams_sql("spark", v, f"NOT ({bench_where})")
         + ") t"
     )
     return (

@@ -35,14 +35,18 @@ def _sessionize_sql(dialect: str, src: str = "events") -> str:
       WITH stamped AS (
         SELECT event_id, user_id, {es} AS ts_s FROM {src}),
       flagged AS (
-        SELECT user_id, ts_s,
+        SELECT event_id, user_id, ts_s,
                CASE WHEN ts_s - lag(ts_s) OVER w > {_GAP_S}
                     OR lag(ts_s) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         FROM stamped
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
       numbered AS (
+        -- the running sum MUST order by the same (ts_s, event_id) key as
+        -- the lag window: same-second ties exist in the data, and without
+        -- the tiebreak the session numbering of tied rows is
+        -- engine/partition-order dependent
         SELECT user_id, ts_s,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
         FROM flagged)
       SELECT user_id, session_idx,
