@@ -505,18 +505,16 @@ _TIER_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
     "grid), which p6_range_banding already demonstrates",
 )
 def j9_range_join(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import functions as FF
-
     ev = load(spark, sf, "events")
     tiers = ev.sparkSession.createDataFrame(_TIERS, "tier string, lo double, hi double")
     return (
         ev.join(
-            FF.broadcast(tiers),
+            F.broadcast(tiers),
             (ev.value >= tiers.lo) & (ev.value < tiers.hi),
         )
         .groupBy("tier")
         .agg(
-            FF.count("*").alias("n_events"),
-            FF.round(FF.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
     )

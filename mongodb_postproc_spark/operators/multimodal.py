@@ -88,15 +88,20 @@ def _round4(x: float) -> float:
 
 
 # ------------------------------------------------------------------ goldens
+# ONE synthesis + decode pass shared by all three golden tables (metadata,
+# quality, psnr) — every importing process (driver and executor workers)
+# pays this once, not per-golden
+_IDS = list(range(MM_MAX_DOC))
+_IMGS = make_images(_mm_urls(_IDS), return_raw=True)
+_PXS = [decode_image(img["bytes"], img["fmt"]) for img in _IMGS]
+
+
 def _golden() -> list[dict]:
     """Expected per-image values for every possible doc_id, computed by the
     pure-python codec path (no Spark): the oracle joins these against the
     sf's stored documents so only rows that exist at this sf are checked."""
-    ids = list(range(MM_MAX_DOC))
-    imgs = make_images(_mm_urls(ids))
     rows = []
-    for d, img in zip(ids, imgs):
-        px = decode_image(img["bytes"], img["fmt"])
+    for d, img, px in zip(_IDS, _IMGS, _PXS):
         small = _pool8(px)
         rows.append(
             {
@@ -415,10 +420,10 @@ _QUALITY_CASE = """
 def _quality_golden() -> list[dict]:
     """Brightness (global pixel mean) and contrast (grayscale std) per
     image, computed by the pure-python codec path — the golden table for
-    the quality screen."""
+    the quality screen (shared _IMGS/_PXS pass)."""
     rows = []
-    for r, img in zip(_G, make_images(_mm_urls([g["doc_id"] for g in _G]))):
-        px = decode_image(img["bytes"], img["fmt"]).astype(np.float64)
+    for r, px8 in zip(_G, _PXS):
+        px = px8.astype(np.float64)
         rows.append(
             {
                 "doc_id": r["doc_id"],
@@ -596,11 +601,9 @@ def _psnr_golden() -> list[dict]:
     """Per-image codec-fidelity numbers from the pure-python path: MSE of
     decode(bytes) vs the pre-codec raw pixels, and PSNR (4dp) for lossy
     rows. Lossless rows must be bit-exact (mse 0, psnr NULL)."""
-    ids = [g["doc_id"] for g in _G]
-    imgs = make_images(_mm_urls(ids), return_raw=True)
     rows = []
-    for g, img in zip(_G, imgs):
-        px = decode_image(img["bytes"], img["fmt"]).astype(np.float64)
+    for g, img, px8 in zip(_G, _IMGS, _PXS):
+        px = px8.astype(np.float64)
         raw = img["raw"].astype(np.float64)
         mse = float(((px - raw) ** 2).mean())
         psnr = None if mse == 0.0 else _round4(10.0 * np.log10(255.0**2 / mse))
