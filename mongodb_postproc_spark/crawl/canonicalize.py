@@ -103,7 +103,10 @@ def canonicalize_py(url: str | None) -> str | None:
     """Pure-Python canonicalizer (oracle side)."""
     if url is None:
         return None
-    u = url.strip()
+    # strip the ASCII whitespace class (Java \s) on BOTH twins — str.strip()
+    # strips a wider unicode set than Spark's trim/\s, which broke the
+    # byte-equality contract on tab/newline-padded hrefs
+    u = re.sub(r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", "", url)
     u = re.sub(r"#.*$", "", u)
     u = _pct_normalize_py(u)
     m = _SCHEME_RE.match(u)
@@ -196,7 +199,9 @@ def canonical_url_col(url: Column) -> Column:
     is within the bound (all generated corpora; asserted by the property
     tests in tests/test_canonicalize.py).
     """
-    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    # ASCII-whitespace strip (the python twin's exact class): F.trim strips
+    # only spaces and would keep a '\t'/'\n'-padded href distinct
+    u = F.regexp_replace(F.regexp_replace(url, r"^\s+|\s+$", ""), r"#.*$", "")
     u = _pct_normalize_col(u)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))

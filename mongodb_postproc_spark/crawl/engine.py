@@ -333,10 +333,13 @@ class CrawlEngine:
         # the dedup aggregate's stage with no shuffle of its own
         return F.pmod(F.hash("url_canon"), F.lit(self.n_buckets)).cast("int")
 
-    def _load_bloom_broadcast(self, state: dict | None) -> Bloom | None:
+    def _load_bloom_broadcast(self, state: dict | None) -> list[Bloom] | None:
         """Legacy/small-scale loader: OR every state row into one driver-side
-        filter (right up to ~10^8 seen URLs; the partitioned probe is the
-        10^10 path). Reads the tiny state rows with pyarrow — no Spark job."""
+        filter PER BLOOM GEOMETRY (right up to ~10^8 seen URLs; the
+        partitioned probe is the 10^10 path) — a workdir resumed with a
+        different expected_urls/fpp, or a partitioned layout re-opened in
+        broadcast mode, holds mixed shapes that must not cross-merge.
+        Reads the tiny state rows with pyarrow — no Spark job."""
         if state is None or "seen_state" not in state["snapshots"]:
             return None
         import pyarrow.parquet as pq
@@ -348,7 +351,7 @@ class CrawlEngine:
                     if fn.endswith(".parquet"):
                         t = pq.read_table(os.path.join(root, fn), columns=["bloom_bytes"])
                         rows.extend({"bloom_bytes": v.as_py()} for v in t.column("bloom_bytes"))
-        return merge_state(rows)
+        return merge_state(rows) or None
 
     def _dedup_filter_unseen(self, candidates: DataFrame, seen: DataFrame,
                              state: dict) -> DataFrame:
@@ -415,10 +418,10 @@ class CrawlEngine:
                 .join(seen, "url_canon", "left_anti")
             )
             return definite_new.unionByName(confirmed_new)
-        bloom = self._load_bloom_broadcast(state) if self.use_bloom else None
-        if bloom is None:
+        blooms = self._load_bloom_broadcast(state) if self.use_bloom else None
+        if not blooms:
             return deduped.join(seen, "url_canon", "left_anti")
-        bloom_bytes = bloom.to_bytes()
+        bloom_bytes = [b.to_bytes() for b in blooms]
         # content-stable cache token: the state epoch pins exactly which
         # blooms were merged (never id() — reused addresses would alias)
         cache_token = f"{self.workdir}:r{state['round_completed']}"
@@ -434,9 +437,9 @@ class CrawlEngine:
             except NameError:
                 cached_key, b = None, None
             if cached_key != cache_token or b is None:
-                b = Bloom.from_bytes(bloom_bytes)
+                b = [Bloom.from_bytes(bb) for bb in bloom_bytes]
                 _BLOOM_CACHE = (cache_token, b)
-            return pd.Series(b.contains(urls))
+            return pd.Series(contains_any(b, urls))
 
         flagged = deduped.withColumn("__maybe", might_contain("url_canon"))
         flagged = flagged.localCheckpoint(eager=False)
@@ -563,6 +566,15 @@ class CrawlEngine:
             .withColumn("host", host_col(F.col("url_canon")))
             .withColumn("priority", F.lit(0))
             .withColumn("depth", F.lit(0))
+        )
+        # seed keys honor the step-9 IDN contract too: non-ASCII hosts are
+        # rewritten to xn-- form BEFORE the first-discovery dedup, so a seed
+        # and a later link in different spellings share one canonical key
+        # (ASCII seeds — every generated corpus — skip the rare path via the
+        # same octet_length gate as the round path)
+        ascii_ok = is_ascii_col("url_canon")
+        seeds = seeds.filter(ascii_ok).unionByName(
+            idn_normalize_urls(seeds.filter(~ascii_ok))
         )
         w = Window.partitionBy("url_canon").orderBy("discovery_ts")
         seeds = (

@@ -161,13 +161,19 @@ def fold_bucket_state(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def merge_state(rows: list[dict]) -> Bloom | None:
-    """OR all persisted per-partition blooms into one queryable filter."""
-    merged: Bloom | None = None
+def merge_state(rows: list[dict]) -> list[Bloom]:
+    """OR all persisted per-partition blooms into one queryable filter PER
+    GEOMETRY. A workdir can legitimately hold rows of several (n_bits,
+    n_hashes) shapes — resumed with a different expected_urls/fpp, or a
+    partitioned layout re-opened in broadcast mode — and merging across
+    shapes is undefined, so shapes merge independently (the same by-shape
+    fold load_bucket_blooms uses). Probe the result with contains_any."""
+    by_shape: dict[tuple[int, int], Bloom] = {}
     for r in rows:
         b = Bloom.from_bytes(r["bloom_bytes"])
-        merged = b if merged is None else merged.merge(b)
-    return merged
+        shape = (b.n_bits, b.n_hashes)
+        by_shape[shape] = b if shape not in by_shape else by_shape[shape].merge(b)
+    return list(by_shape.values())
 
 
 # ---------------------------------------------------------------------------
@@ -216,19 +222,25 @@ def load_bucket_blooms(member_dirs: list[str], bucket: int) -> list[Bloom]:
     for d in member_dirs:
         files.extend(_parquet_files(os.path.join(d, f"__pdir={bucket}")))
         files.extend(_parquet_files(d))  # legacy flat layout
-    key = (bucket, tuple((f, os.path.getmtime(f)) for f in files))
-    if key in _MERGED_CACHE:
-        return _MERGED_CACHE[key]
+    # keyed by bucket with the file-set token as the VALUE guard: each
+    # round's append makes a new token, and storing (token, value) under
+    # the bare bucket key evicts the superseded round's merged slice
+    # immediately — the cache holds at most n_buckets live entries instead
+    # of every historical round's copy (which at 10^10 scale is a
+    # worker-OOM, not a nicety)
+    token = tuple((f, os.path.getmtime(f)) for f in files)
+    hit = _MERGED_CACHE.get(bucket)
+    if hit is not None and hit[0] == token:
+        return hit[1]
     by_shape: dict[tuple[int, int], Bloom] = {}
     for f in files:
         for b in _bloom_rows_from_file(f):
             shape = (b.n_bits, b.n_hashes)
             by_shape[shape] = b if shape not in by_shape else by_shape[shape].merge(b)
     merged = list(by_shape.values())
-    if len(_MERGED_CACHE) > 1024:  # bound worker memory across long runs
-        _MERGED_CACHE.clear()
+    if len(_FILE_BLOOM_CACHE) > 4096:  # superseded/compacted-away files
         _FILE_BLOOM_CACHE.clear()
-    _MERGED_CACHE[key] = merged
+    _MERGED_CACHE[bucket] = (token, merged)
     return merged
 
 
@@ -266,15 +278,18 @@ def load_bucket_urlset(member_dirs: list[str], bucket: int) -> frozenset:
     files: list[str] = []
     for d in member_dirs:
         files.extend(_parquet_files(os.path.join(d, f"__pdir={bucket}")))
-    key = (bucket, tuple((f, os.path.getmtime(f)) for f in files))
-    if key in _URLSET_CACHE:
-        return _URLSET_CACHE[key]
+    # same bucket-keyed (token, value) scheme as _MERGED_CACHE: the merged
+    # frozenset of a superseded round is dropped the moment its bucket is
+    # re-requested, bounding live entries at n_buckets
+    token = tuple((f, os.path.getmtime(f)) for f in files)
+    hit = _URLSET_CACHE.get(bucket)
+    if hit is not None and hit[0] == token:
+        return hit[1]
     merged: frozenset = frozenset().union(*(_urlset_from_file(f) for f in files)) \
         if files else frozenset()
-    if len(_URLSET_CACHE) > 1024:  # bound worker memory across long runs
-        _URLSET_CACHE.clear()
+    if len(_FILE_URLS_CACHE) > 4096:  # superseded/compacted-away files
         _FILE_URLS_CACHE.clear()
-    _URLSET_CACHE[key] = merged
+    _URLSET_CACHE[bucket] = (token, merged)
     return merged
 
 

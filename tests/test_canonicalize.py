@@ -30,6 +30,11 @@ TRICKY = [
     "http://host2.test/p/1?a=1&b=2",
     "http://host2.test/p/1?a=1&b=2#x",
     "  http://host3.test/p/1  ",
+    "\thttp://host3.test/p/2",
+    "http://host3.test/p/3\n",
+    "\r\n http://host3.test/p/4 \t",
+    "\x0bhttp://host3.test/p/5\x0c",
+    "\xa0http://host3.test/p/6",  # NBSP: outside the ASCII strip class on BOTH twins
     "not a url",
     "ftp://host4.test/p/1",  # valid scheme, kept
     "/relative/path",

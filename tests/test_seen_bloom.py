@@ -30,7 +30,17 @@ def test_bloom_serde_and_merge():
     merged = merge_state(
         [{"bloom_bytes": b1.to_bytes()}, {"bloom_bytes": b2.to_bytes()}]
     )
-    assert merged.contains(u1).all() and merged.contains(u2).all()
+    assert len(merged) == 1  # one shared geometry -> one merged filter
+    assert merged[0].contains(u1).all() and merged[0].contains(u2).all()
+    # mixed geometries merge independently instead of asserting
+    b3 = Bloom(b1.n_bits * 2, b1.n_hashes)
+    b3.add(u1)
+    mixed = merge_state(
+        [{"bloom_bytes": b1.to_bytes()}, {"bloom_bytes": b3.to_bytes()}]
+    )
+    assert len(mixed) == 2
+    from mongodb_postproc_spark.crawl.seen import contains_any
+    assert contains_any(mixed, u1).all()
 
 
 def test_engine_bloom_vs_exact_identical(spark, tmp_path):
@@ -139,3 +149,33 @@ def test_round_plan_never_scans_seen(spark, tmp_path):
     assert "Join" not in plan, f"unexpected join in the confirmer plan:\n{plan}"
     got = {r["url_canon"] for r in new.collect()}
     assert got == set(cand_urls) - seen_urls
+
+
+def test_broadcast_resume_with_different_geometry(spark, tmp_path):
+    """A broadcast-mode workdir resumed with a different expected_urls (so a
+    different bloom geometry) holds state rows of TWO shapes; the loader
+    must merge per shape and probe all of them instead of asserting — and
+    the crawl output must still equal the exact (no-bloom) run."""
+    cfg1 = CrawlConfig(
+        n_seeds=5, max_rounds=1, per_host_cap=3,
+        web=WebConfig(n_hosts=5, hot_pages=40, cold_pages=10, seed="bloom-v1"),
+    )
+    cfg2 = CrawlConfig(
+        n_seeds=5, max_rounds=2, per_host_cap=3, web=cfg1.web,
+    )
+    wd = str(tmp_path / "bloom_geo")
+    CrawlEngine(spark, cfg1, wd, use_bloom=True, bloom_mode="broadcast",
+                expected_urls=1_000).run()
+    eng = CrawlEngine(spark, cfg2, wd, use_bloom=True, bloom_mode="broadcast",
+                      expected_urls=50_000)  # different geometry from round 0's
+    eng.run()
+
+    wd_exact = str(tmp_path / "bloom_geo_exact")
+    exact = CrawlEngine(spark, cfg2, wd_exact, use_bloom=False)
+    exact.run()
+    got = [(r["seq"], r["url_canon"]) for r in eng.fetch_log().collect()]
+    want = [(r["seq"], r["url_canon"]) for r in exact.fetch_log().collect()]
+    assert got == want
+    assert {r["url_canon"] for r in eng.seen_set().collect()} == {
+        r["url_canon"] for r in exact.seen_set().collect()
+    }
