@@ -80,8 +80,9 @@ from .seen import (
     contains_any,
     fold_bucket_state,
     load_bucket_blooms,
-    load_bucket_urlset,
+    load_bucket_seen_hashes,
     make_bucket_state_builder,
+    seenhash_contains,
     merge_state,
 )
 
@@ -175,10 +176,12 @@ def _make_probe(state_dirs: list[str], seen_dirs: list[str] | None = None):
 
     With ``seen_dirs`` (the bucket-partitioned `seen` table's data dirs)
     the EXACT confirmation also happens here: Bloom-positive rows are
-    checked against their bucket's exact URL slice (seen.load_bucket_urlset)
-    in the same task — no plan downstream ever joins, scans, or shuffles
-    the full seen table. Bloom false positives therefore cost one slice
-    read, never a dropped URL; Bloom negatives skip the slice entirely."""
+    checked against their bucket's 128-bit-hash slice
+    (seen.load_bucket_seen_hashes — 16 bytes/URL flat numpy, binary-search
+    probe) in the same task — no plan downstream ever joins, scans, or
+    shuffles the full seen table. Bloom false positives therefore cost one
+    slice read, never a dropped URL; Bloom negatives skip the slice
+    entirely."""
 
     import numpy as np
 
@@ -194,12 +197,17 @@ def _make_probe(state_dirs: list[str], seen_dirs: list[str] | None = None):
             exact = np.zeros(len(pdf), dtype=bool)
             for b in np.unique(buckets):
                 mask = buckets == b
+                urls_m = pdf.loc[mask, "url_canon"]
                 blooms = load_bucket_blooms(state_dirs, int(b))
-                hit = contains_any(blooms, pdf.loc[mask, "url_canon"])
+                hit = contains_any(blooms, urls_m)
                 maybe[mask] = hit
                 if seen_dirs is not None and hit.any():
-                    urlset = load_bucket_urlset(seen_dirs, int(b))
-                    exact[mask] = hit & pdf.loc[mask, "url_canon"].isin(urlset).to_numpy()
+                    # hash only the Bloom-positive subset (the negatives —
+                    # the bulk at steady state — never pay the md5)
+                    slice_ab = load_bucket_seen_hashes(seen_dirs, int(b))
+                    ex = hit.copy()
+                    ex[hit] = seenhash_contains(slice_ab, urls_m[hit])
+                    exact[mask] = ex
             out = pdf.copy()
             out["maybe_seen"] = maybe
             out["seen"] = exact if seen_dirs is not None else maybe
@@ -369,7 +377,7 @@ class CrawlEngine:
         (bucket expr is shuffle-aligned, see _bucket_col): bloom-negative
         rows are definitely new; bloom-positive rows are checked against
         their bucket's exact seen slice loaded executor-side
-        (seen.load_bucket_urlset) — so the realized physical plan NEVER
+        (seen.load_bucket_seen_hashes) — so the realized physical plan NEVER
         scans, joins, or shuffles the full seen table (the round-2 judge's
         O(seen)-shuffle-per-round finding; asserted by
         tests/test_seen_bloom.py::test_round_plan_never_scans_seen).
@@ -780,7 +788,7 @@ class CrawlEngine:
 
         # seen is stored hash-bucketed on the SAME key layout as seen_state
         # (pmod(hash(url), n_buckets) dirs): the exact confirmer reads only
-        # the aligned bucket slice inside the probe stage (load_bucket_urlset
+        # the aligned bucket slice inside the probe stage (load_bucket_seen_hashes
         # — no plan ever shuffles the 10^10-row seen side). On Iceberg the
         # same layout is the bucket transform, which additionally enables
         # storage-partitioned joins (SPARK-37375) for ad hoc readers.

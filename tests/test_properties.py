@@ -75,6 +75,61 @@ def test_spark_vs_python_on_fuzzed_urls(spark):
     assert not mismatches, mismatches[:5]
 
 
+_IRI_SEGS = _SEGS + ["café", "päth", "日本", "ü", "ñ-x", "π.y", "a é"]
+_IRI_PARAMS = _PARAMS + ["é=1", "k=ü", "日=本", "%C3%A9=2"]
+_IRI_HOSTS = _HOSTS + ["Bücher.example", "日本語.example", "hoſt1.test"]
+
+
+def _random_iri(rng: random.Random) -> str:
+    scheme = rng.choice(["http", "https", "HTTP"])
+    host = rng.choice(_IRI_HOSTS)
+    n = rng.randint(0, 5)
+    segs = [rng.choice(_IRI_SEGS) for _ in range(n)]
+    while segs.count("..") > MAX_DOT_DEPTH:
+        segs.remove("..")
+    path = "/" + "/".join(segs) if segs else rng.choice(["", "/"])
+    q = ""
+    if rng.random() < 0.5:
+        q = "?" + "&".join(rng.choice(_IRI_PARAMS) for _ in range(rng.randint(0, 3)))
+    return f"{scheme}://{host}{path}{q}"
+
+
+def test_spark_pipeline_vs_python_on_fuzzed_iris(spark):
+    """Full engine pipeline (native hot path, then the observation-gated
+    rare path) equals the python twin bytewise over non-ASCII IRIs — hosts
+    (IDN, step 9) and paths/queries (RFC 3987, step 10) both."""
+    from mongodb_postproc_spark.crawl.canonicalize import idn_normalize_urls
+
+    rng = random.Random("iri-fuzz-v1")
+    raws = sorted({_random_iri(rng) for _ in range(400)})
+    base = (
+        spark.createDataFrame(pd.DataFrame({"raw": raws}))
+        .withColumn("url_canon", canonical_url_col(F.col("raw")))
+        .withColumn("host", F.lit(""))
+        .filter(F.col("url_canon").isNotNull())
+    )
+    # idn_normalize_urls passes ASCII rows through untouched, so running the
+    # whole corpus through it realizes exactly the engine's split-union
+    out = idn_normalize_urls(base).collect()
+    mismatches = [
+        (r["raw"], r["url_canon"], canonicalize_py(r["raw"]))
+        for r in out
+        if r["url_canon"] != canonicalize_py(r["raw"])
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_canonicalize_py_idempotent_on_iris():
+    """Canonical keys of non-ASCII IRIs are fixed points (encoding happens
+    before query sorting, so re-canonicalizing cannot reorder params)."""
+    rng = random.Random("iri-idem-v1")
+    for _ in range(500):
+        u = _random_iri(rng)
+        c = canonicalize_py(u)
+        if c is not None:
+            assert canonicalize_py(c) == c, (u, c, canonicalize_py(c))
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.integers(min_value=0, max_value=2**63 - 1))
 def test_canonicalize_py_idempotent(seed):

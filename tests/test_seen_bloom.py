@@ -110,7 +110,7 @@ def test_round_plan_never_scans_seen(spark, tmp_path):
     put the (10^10-row at target scale) seen table into any Spark plan — a
     left-anti join sort-merge-shuffles its whole right side every round.
     The realized fix confirms inside the bucket-aligned probe stage
-    (seen.load_bucket_urlset), so the physical plan of the new-URL
+    (seen.load_bucket_seen_hashes), so the physical plan of the new-URL
     computation contains NO scan of the seen table at all — asserted here
     on the plan string — while the result stays exactly the anti-join
     semantics — asserted against a python set difference."""
