@@ -231,7 +231,13 @@ def w3_rownumber_resume(spark: SparkSession, sf: str) -> DataFrame:
     # single-partition pass over the full table. For deep offsets the scale
     # path is keyset pagination (WHERE o_orderkey > last_seen), which is the
     # reference's actual resume idiom; this query pins the skip/limit form.
-    w = Window.orderBy("o_orderkey")
+    # The constant partition key quiets Spark's "No Partition Defined"
+    # WindowExec warning: the window input here is the 120 post-limit rows,
+    # never the table, so the single-partition window is intentional and
+    # O(120). A bare lit(1) does NOT work — Catalyst constant-folds foldable
+    # expressions out of the partition spec and the warning comes back, so
+    # the key must reference a column (pmod(k, 1) is always 0).
+    w = Window.partitionBy(F.pmod(F.col("o_orderkey"), F.lit(1))).orderBy("o_orderkey")
     top = (
         load(spark, sf, "orders")
         .select("o_orderkey", "o_totalprice")
@@ -423,10 +429,10 @@ _CORR_SQL = """
   WITH s AS (
     SELECT l_returnflag,
            count(*) AS n,
-           sum(CAST(l_quantity AS BIGINT)) AS sx,
+           sum(CAST(floor(l_quantity) AS BIGINT)) AS sx,
            sum(CAST(l_linenumber AS BIGINT)) AS sy,
-           sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy,
-           sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+           sum(CAST(floor(l_quantity) AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy,
+           sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_quantity) AS BIGINT)) AS sxx,
            sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy
     FROM lineitem GROUP BY l_returnflag)
   SELECT l_returnflag,
@@ -445,7 +451,10 @@ _CORR_SQL = """
     "single closing expression is the only float op — so the result is "
     "bit-identical on any engine, any row order, any partitioning, unlike "
     "a streaming corr() whose float accumulation drifts with partition "
-    "count. Map-side-combined hash aggregate, one shuffle of 3 rows",
+    "count. l_quantity is floored EXPLICITLY before the BIGINT cast: Spark "
+    "CAST truncates while DuckDB CAST rounds, so a bare cast is only "
+    "portable on integer-valued doubles. Map-side-combined hash aggregate, "
+    "one shuffle of 3 rows",
 )
 def a19_corr_exact(spark: SparkSession, sf: str) -> DataFrame:
     load(spark, sf, "lineitem").createOrReplaceTempView("v_corr_lineitem")

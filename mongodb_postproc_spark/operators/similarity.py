@@ -725,6 +725,89 @@ def sim_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+IVF_PQ_SHORTLIST = 20  # ADC shortlist fed to the exact rerank per probe query
+
+
+def _ivf_pq_sql(d: str, table: str, cb_values: str | None = None) -> str:
+    """The composed two-stage ANN deployment form (the shape FAISS calls
+    IVF-PQ — Jégou et al. 2011, public literature): IVF cell probing bounds
+    the candidate set, ADC scores those candidates from 4 code ids each,
+    and only the ADC top-{IVF_PQ_SHORTLIST} pays an exact-cosine rerank.
+    The separate sim_ivf_* / sim_pq_* queries each demonstrate half of
+    this; production runs THIS.
+
+    Stage audit at 10^10 vectors: candidates per query = probed-cell sizes
+    (never n²); ADC per candidate = 4 integer adds off the broadcast
+    codebook; exact math touches only SHORTLIST rows per query. The three
+    stages reuse the proven chains (`_ivf_base_ctes`, `_pq_cte_chain`), so
+    determinism arguments carry over unchanged: integer-exact ADC, 4dp
+    cosine, id tie-breaks everywhere.
+
+    DuckDB runs the whole thing — codebook training included — as one SQL
+    (``cb_values=None``); Spark runs the production train-collect-serve
+    split with the codebook inlined (``cb_values`` from
+    :func:`_pq_trained_codebook_values`), and the oracle's single plan
+    proves the split end-to-end."""
+    mode = "full" if cb_values is None else "serve"
+    chain, _, enc = _pq_cte_chain(d, table, mode=mode, cb_values=cb_values)
+    return f"""
+        WITH {_ivf_base_ctes(d, table)},
+        {chain},
+        probe_cells AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell ASC) AS rk
+            FROM dots WHERE vec_id < 8) t WHERE rk <= {IVF_MAX_PROBES}),
+        cand AS (
+          SELECT pc.query_id, a.vec_id AS neighbor_id
+          FROM probe_cells pc JOIN assign a ON a.cell = pc.cell
+          WHERE a.vec_id <> pc.query_id),
+        adc AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 round(CAST(sum(a.pdot) AS DOUBLE) / 1000000000000.0, 4) AS adc_dot
+          FROM cand cd
+          JOIN {enc} e ON e.vec_id = cd.neighbor_id
+          JOIN adt a ON a.query_id = cd.query_id AND a.m = e.m AND a.code = e.code
+          GROUP BY cd.query_id, cd.neighbor_id),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dot DESC, neighbor_id ASC) AS srk
+            FROM adc) t WHERE srk <= {IVF_PQ_SHORTLIST}),
+        pairs AS (
+          SELECT sh.query_id, sh.neighbor_id,
+                 round(sum(eq.v * ec.v)
+                       / (sqrt(sum(eq.v * eq.v)) * sqrt(sum(ec.v * ec.v))), 4) AS cosine
+          FROM short sh
+          JOIN ex eq ON eq.vec_id = sh.query_id
+          JOIN ex ec ON ec.vec_id = sh.neighbor_id AND ec.pos = eq.pos
+          GROUP BY sh.query_id, sh.neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+          FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """
+
+
+@register(
+    "sim_ivf_pq_topk",
+    _ivf_pq_sql("duckdb", "embeddings"),
+    f"Composed two-stage ANN (IVF-PQ, the deployment form): probe the "
+    f"query's {IVF_MAX_PROBES} nearest IVF cells, ADC-score only their "
+    f"members off the {PQ_M}-code encodings, exact-rerank the ADC "
+    f"top-{IVF_PQ_SHORTLIST}. Spark runs train-collect-serve with the "
+    "codebook inlined; the DuckDB oracle proves the whole pipeline — "
+    "training included — as one integer-exact plan",
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    cbv = _pq_trained_codebook_values(spark, v)
+    return spark.sql(_ivf_pq_sql("spark", v, cb_values=cbv))
+
+
 @register(
     "sim_kmeans_train",
     _kmeans_sql("duckdb").replace("__EMB__", "embeddings"),
