@@ -277,6 +277,13 @@ class CrawlEngine:
     RULES_T = "array<struct<pattern:string,allow:boolean,plen:int>>"
 
     def _robots_df(self) -> DataFrame:
+        # memoized per engine: the rules are a pure function of the web
+        # config, and regenerating + re-shipping the LocalRelation every
+        # round is serial driver time (at a real million-host web this
+        # becomes a proper broadcast table loaded once, not per round)
+        cached = getattr(self, "_robots_df_cache", None)
+        if cached is not None:
+            return cached
         rows = SyntheticWeb(self.cfg.web).robots_rows()
         data = [
             (
@@ -286,9 +293,10 @@ class CrawlEngine:
             )
             for r in rows
         ]
-        return self.spark.createDataFrame(
+        self._robots_df_cache = self.spark.createDataFrame(
             data, f"host string, rules {self.RULES_T}, crawl_delay_ms long"
         )
+        return self._robots_df_cache
 
     @classmethod
     def _blocked_col(cls):
@@ -681,11 +689,21 @@ class CrawlEngine:
         sched = assign_global_seq(
             sched, ["offset_ms", "host", "url_canon"], out_col="seq", start=state["next_seq"]
         )
-        # reused by the fetch input AND the frontier delete file — plan once
-        sched = sched.localCheckpoint(eager=False)
-        if _TIMING:
-            sched.count()
-            tm.mark("schedule_only")
+        # reused by the fetch input AND the frontier delete file — plan once.
+        # EAGER: the materialization job is the price of starting the
+        # frontier delete-file append NOW, concurrent with the fetch stage
+        # (the delete depends only on the schedule; serializing it after the
+        # round's two big stages put ~1-2 s of fixed job time on the critical
+        # path at every parallelism — pure serial-floor at 4N cores).
+        sched = sched.localCheckpoint(eager=True)
+        tm.mark("schedule_only")
+        from concurrent.futures import ThreadPoolExecutor
+
+        side_pool = ThreadPoolExecutor(max_workers=2)
+        fut_frontier_delete = side_pool.submit(
+            self.catalog.append_deletes,
+            "frontier", sched.select("url_canon"), "url_canon", "global",
+        )
 
         # -- fetch (Arrow-vectorized; order is carried by seq, not wall
         #    clock). The parquet write IS the materialization: fetch runs
@@ -735,6 +753,23 @@ class CrawlEngine:
         links_extracted = int(pm["n_links"] or 0)
         results = self.catalog.read_snapshot_dir("pages", self.spark, pages_snap)
         tm.mark("schedule+fetch+write_pages")
+
+        # per-partition lineage (north rule: partition_id, bloom epoch, last
+        # url hash, rows fetched) depends ONLY on the pages snapshot — run
+        # its aggregate concurrently with the extract+dedup stage below
+        # instead of as a serial tail job. The groupBy(pid) result is a
+        # handful of rows: collect it and commit driver-side — a full Spark
+        # write would cost a second job for ~32 rows.
+        fut_lineage = side_pool.submit(
+            lambda: (
+                results.groupBy("pid")
+                .agg(
+                    F.count("*").alias("rows_fetched"),
+                    F.max_by(F.xxhash64("url_canon"), F.col("seq")).alias("last_url_hash"),
+                )
+                .collect()
+            )
+        )
 
         # -- extract + canonicalize (dedup happens fused with the seen probe)
         children = (
@@ -815,11 +850,12 @@ class CrawlEngine:
 
         # frontier merge-on-read: scheduled keys leave via a delete file,
         # discoveries enter via an append — O(delta) write I/O per round
-        # (see module docstring for why global delete scope is sound here)
+        # (see module docstring for why global delete scope is sound here).
+        # The delete was submitted back at schedule time (concurrent with the
+        # fetch stage); the two frontier ops still order among themselves
+        # (same manifest), so the append waits on it here.
         def _commit_frontier():
-            self.catalog.append_deletes(
-                "frontier", sched.select("url_canon"), "url_canon", scope="global"
-            )
+            fut_frontier_delete.result()
             self.catalog.append("frontier", allowed_new.select(*FRONTIER_COLS))
 
         def _commit_seen_state():
@@ -876,18 +912,9 @@ class CrawlEngine:
             frontier_deletes = 0
             tm.mark("compact_frontier")
 
-        # per-partition lineage (north rule: partition_id, bloom epoch,
-        # last url hash, rows fetched). The groupBy(pid) result is a
-        # handful of rows: collect it and commit driver-side — a full
-        # Spark write would cost a second job for ~32 rows.
-        lin = (
-            results.groupBy("pid")
-            .agg(
-                F.count("*").alias("rows_fetched"),
-                F.max_by(F.xxhash64("url_canon"), F.col("seq")).alias("last_url_hash"),
-            )
-            .collect()
-        )
+        # lineage rows were aggregated concurrently with extract+dedup above
+        lin = fut_lineage.result()
+        side_pool.shutdown(wait=True)
         import pyarrow as pa
 
         lineage_schema = pa.schema(

@@ -27,6 +27,11 @@ def assign_global_seq(
 ) -> DataFrame:
     spark = df.sparkSession
     n_part = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+    # repartitionByRange runs a SAMPLING job over the child before the real
+    # exchange — an uncached child (here: the scheduler's window chain) would
+    # be computed twice per round. Pin it once; the sampling pass materializes
+    # the blocks and the exchange reads them back.
+    df = df.localCheckpoint(eager=False)
     parted = (
         df.repartitionByRange(n_part, *[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)
