@@ -136,3 +136,130 @@ def dedup_cluster_components_star(spark: SparkSession, sf: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("is_keeper"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank: the second iterative graph primitive (beside connected
+# components) a link-graph engine needs — the reference ranks nothing, but
+# the crawl frontier it implies (findMissingPages.py builds the page link
+# worklist) is exactly the host-graph PageRank operates on at web scale.
+# --------------------------------------------------------------------------
+
+PR_ITERS = 3  # fixed, unrolled in the oracle — same contract as KMEANS_ITERS
+PR_SCALE = 1_000_000  # rank carried in integer micro-units
+PR_SUPP_OFFSET = 10_000_000  # supplier node ids, disjoint from customer keys
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-exact damped PageRank, a fixed number of synchronous
+    iterations over a directed edge list (src, dst).
+
+    All rank state is BIGINT micro-units: each node starts at 10^6, a node
+    with out-degree d sends ``r div d`` along each out-edge, and the damped
+    update is ``0.15*10^6 + (85 * Σ inbound) div 100`` — integer div on both
+    sides, so the result is order-free, partitioning-free and bit-identical
+    on any engine (the a19_corr_exact determinism trick applied to an
+    iterative algorithm; a float PageRank would drift with partition count).
+
+    Scale shape: the (edge ⋈ out-degree) relation is computed ONCE and
+    localCheckpointed — each iteration is then a single equi-join of the
+    K-row rank vector on src plus one map-side-combined hash aggregate on
+    dst (a hot host's inbound sum partially collapses before the shuffle;
+    AQE skew splitting covers the rest). O(iters) shuffles total, no
+    all-pairs stage, nothing driver-side. Every node here has an out-edge
+    (callers pass symmetrized or pruned-dangling graphs), so no dangling
+    mass term is needed.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    ed = e.join(deg, "src").localCheckpoint()
+    r = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(iters):
+        r = (
+            ed.join(r.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.expr(f"CAST({PR_SCALE * 15 // 100} + (85 * sum(c)) div 100 AS BIGINT)").alias("r"))
+        )
+    return r
+
+
+def _pagerank_sql(d: str) -> str:
+    """Unrolled-oracle twin of :func:`pagerank_fixed` over the order graph:
+    customers and suppliers are nodes, each order line is an edge in BOTH
+    directions (symmetrized, so the chain customer→supplier→customer mixes
+    and no node dangles) — the bipartite analog of a host link graph."""
+    div = "div" if d == "spark" else "//"
+    teleport = PR_SCALE * 15 // 100
+    ctes = [
+        f"""edges AS (
+          SELECT o.o_custkey AS src, l.l_suppkey + {PR_SUPP_OFFSET} AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          UNION
+          SELECT l.l_suppkey + {PR_SUPP_OFFSET} AS src, o.o_custkey AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)""",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""it{i} AS (
+          SELECT e.dst AS node,
+                 CAST({teleport} + (85 * sum(r.r {div} d.d)) {div} 100 AS BIGINT) AS r
+          FROM edges e
+          JOIN deg d ON d.src = e.src
+          JOIN {prev} r ON r.node = e.src
+          GROUP BY e.dst)""")
+        prev = f"it{i}"
+    return f"""
+        WITH {", ".join(ctes)},
+        ranked AS (
+          SELECT node, r AS rank_micro,
+                 row_number() OVER (ORDER BY r DESC, node ASC) AS rk
+          FROM {prev})
+        SELECT node, rank_micro, rk FROM ranked WHERE rk <= 25
+    """
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_sql("duckdb"),
+    f"Damped PageRank, {PR_ITERS} fixed synchronous iterations over the "
+    "symmetrized customer↔supplier order graph (the host-link-graph shape at "
+    "web scale): rank in BIGINT micro-units with integer div at every step, "
+    "so the result is order-free and bit-identical on any engine/partitioning "
+    "— the iterative-graph companion to connected components. Spark side is "
+    "the reusable pagerank_fixed() DataFrame loop (edge⋈degree checkpointed "
+    "once, one equi-join + one map-side-combined aggregate per iteration); "
+    "oracle is the same arithmetic unrolled as CTEs",
+)
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from .base import load
+
+    load(spark, sf, "orders").createOrReplaceTempView("v_pr_orders")
+    load(spark, sf, "lineitem").createOrReplaceTempView("v_pr_lineitem")
+    edges = spark.sql(f"""
+        SELECT o.o_custkey AS src, l.l_suppkey + {PR_SUPP_OFFSET} AS dst
+        FROM v_pr_orders o JOIN v_pr_lineitem l ON l.l_orderkey = o.o_orderkey
+        UNION
+        SELECT l.l_suppkey + {PR_SUPP_OFFSET} AS src, o.o_custkey AS dst
+        FROM v_pr_orders o JOIN v_pr_lineitem l ON l.l_orderkey = o.o_orderkey
+    """)
+    r = pagerank_fixed(edges, PR_ITERS)
+    top = r.orderBy(F.desc("r"), F.asc("node")).limit(25)
+    # rank the 25-row result; pmod keeps WindowExec off the single-partition
+    # warning path without changing the (global) ordering semantics
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.pmod(F.col("node"), F.lit(1))).orderBy(
+        F.desc("r"), F.asc("node")
+    )
+    return top.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        F.row_number().over(w).alias("rk"),
+    )

@@ -820,3 +820,62 @@ def sim_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 def sim_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     v = _emb_view(spark, sf)
     return spark.sql(_kmeans_sql("spark").replace("__EMB__", v))
+
+
+SEMDEDUP_TAU = 0.30  # same non-vacuous threshold as dedup_embedding_cosine
+
+
+def _semdedup_sql(d: str, table: str) -> str:
+    """Semantic dedup (the SemDeDup recipe — Abbas et al. 2023, public
+    literature): train the coarse quantizer, assign every vector to its
+    nearest cell, compute exact cosine ONLY within cells, and keep the
+    lowest-id member of every similar group. This composes the two halves
+    the registry already proves separately — sim_kmeans/_ivf_base_ctes cell
+    assignment and dedup_embedding_cosine's norm-precomputed blocked pair
+    join — into the deployment form: at 10^10 vectors the pair stage scales
+    with cell size, never n², and the cell key is exactly the hash-exchange
+    key, so each cell's pairs stay inside one shuffle partition (AQE splits
+    hot cells). Prune rule: a vector is dropped iff some LOWER-id cell-mate
+    matches at >= tau — deterministic, no RNG, no iteration."""
+    if d == "spark":
+        n_cte = f"""n AS (
+          SELECT t.vec_id, a.cell, CAST(t.embedding AS ARRAY<DOUBLE>) AS e,
+                 sqrt(aggregate(CAST(t.embedding AS ARRAY<DOUBLE>), 0.0D,
+                                (acc, x) -> acc + x * x)) AS nrm
+          FROM {table} t JOIN assign a ON a.vec_id = t.vec_id)"""
+        cos = (
+            "round(aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x) / (a.nrm * b.nrm), 4)"
+        )
+    else:
+        n_cte = f"""n AS (
+          SELECT t.vec_id, a.cell, t.embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) AS nrm
+          FROM {table} t JOIN assign a ON a.vec_id = t.vec_id)"""
+        cos = "round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)"
+    return f"""
+        WITH {_ivf_base_ctes(d, table)},
+        {n_cte},
+        prune_pairs AS (
+          SELECT a.vec_id AS vid, {cos} AS cosine
+          FROM n a JOIN n b ON b.cell = a.cell AND b.vec_id < a.vec_id),
+        pruned AS (
+          SELECT DISTINCT vid FROM prune_pairs WHERE cosine >= {SEMDEDUP_TAU})
+        SELECT s.vec_id, s.cell, (p.vid IS NULL) AS is_kept
+        FROM assign s LEFT JOIN pruned p ON p.vid = s.vec_id
+    """
+
+
+@register(
+    "dedup_semdedup",
+    _semdedup_sql("duckdb", "embeddings"),
+    f"Semantic dedup, the composed deployment form (SemDeDup, Abbas et al. "
+    f"2023): coarse-quantizer cell assignment -> in-cell exact cosine with "
+    f"precomputed norms -> keep the lowest-id member of each >={SEMDEDUP_TAU} "
+    "group. Composes the proven sim_kmeans cell stage with "
+    "dedup_embedding_cosine's blocked pair join; candidates scale with cell "
+    "size, never n², and the cell key doubles as the shuffle key",
+)
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    v = _emb_view(spark, sf)
+    return spark.sql(_semdedup_sql("spark", v))
