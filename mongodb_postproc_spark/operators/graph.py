@@ -225,6 +225,49 @@ def _pagerank_sql(d: str) -> str:
     """
 
 
+def _triangle_sql(d: str, v: str) -> str:
+    """Triangle participation counts over the MinHash-LSH candidate graph —
+    the standard ordered-edge (compact-forwarding) enumeration: every edge
+    is stored once as (a < b), and a triangle {a<b<c} is found exactly once
+    as e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c). Work is Σ deg⁺(v)² over
+    lower-endpoint out-degrees (never n³); on the LSH graph degrees are
+    bounded by near-dup cluster sizes, and the two equi-joins shuffle on
+    plain node keys (AQE splits a hot template-family's key). Each triangle
+    credits all three corners; output is per-doc counts."""
+    from .textops import _lsh_pairs_sql
+
+    return f"""
+        WITH e AS ({_lsh_pairs_sql(d, v)}),
+        tri AS (
+          SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          FROM e e1
+          JOIN e e2 ON e2.doc_a = e1.doc_b
+          JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        corners AS (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY doc_id
+    """
+
+
+@register(
+    "graph_triangle_count",
+    _triangle_sql("duckdb", "documents"),
+    "Per-node triangle counts over the MinHash-LSH candidate graph via "
+    "ordered-edge compact forwarding (each triangle enumerated exactly once "
+    "as (a<b)⋈(b<c)⋈(a<c)) — the clustering-coefficient/cohesion primitive "
+    "complementing connected components and PageRank; work is Σ deg⁺² on "
+    "ordered degrees, never n³, and both joins are plain node-key shuffles",
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    from .textops import _docs_view_parallel
+
+    v = _docs_view_parallel(spark, sf)
+    return spark.sql(_triangle_sql("spark", v))
+
+
 @register(
     "graph_pagerank",
     _pagerank_sql("duckdb"),
