@@ -789,3 +789,87 @@ def _context_pack_sql(dialect: str, docs: str) -> str:
 def pipeline_context_pack(spark: SparkSession, sf: str) -> DataFrame:
     v = _docs_view(spark, sf)
     return spark.sql(_context_pack_sql("spark", v))
+
+
+# --------------------------------------------------------------------------
+# Winnowed passage fingerprinting (local-overlap detection)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 16  # k-gram length (chars)
+WINNOW_W = 8  # winnowing window (k-grams per window)
+WINNOW_DF_CAP = 10  # drop fingerprints shared by more docs (stop-boilerplate)
+WINNOW_MIN_SHARED = 4  # pair survives with >= this many shared fingerprints
+
+
+def _winnow_sql(d: str, v: str) -> str:
+    """Winnowed k-gram fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    2003 — the MOSS algorithm, public literature): hash every k-gram, keep
+    the minimum hash of each w-window of consecutive positions, pair docs
+    sharing >= WINNOW_MIN_SHARED selected fingerprints. Detects SHARED
+    PASSAGES (any common substring of length >= k+w-1 = 23 chars is
+    guaranteed to contribute a shared fingerprint) — the local-overlap
+    complement to the whole-document similarity family (minhash / simhash /
+    embedding): quotation, boilerplate and partial-copy detection.
+
+    Scale shape: k-gram hashing is map-side; the window-min is ONE exchange
+    on doc_id (each doc's positions sort within its partition group);
+    winnowing thins fingerprints to a guaranteed density of 2/(w+1); the
+    pair join is the posting-list self-join whose candidates scale with
+    fingerprint document-frequency, hard-capped by dropping fingerprints
+    with df > WINNOW_DF_CAP (the standard stop-fingerprint practice —
+    ubiquitous boilerplate pairs everything with everything and carries no
+    dedup signal). Hashes are the repo-standard md5 h60 slices, identical
+    on both engines."""
+    if d == "spark":
+        kg = f"""
+          SELECT doc_id, i AS pos,
+                 {spark_h60_sql(f"substring(text, i, {WINNOW_K})")} AS h,
+                 greatest(length(text) - {WINNOW_K - 1}, 1) AS npos
+          FROM {v}
+          LATERAL VIEW explode(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1))) s AS i"""
+    else:
+        kg = f"""
+          SELECT doc_id, u.pos AS pos, u.h AS h, npos
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': CAST(i AS INT),
+                             'h': {duckdb_h60_sql(f"substr(text, CAST(i AS INT), {WINNOW_K})")}}}
+                           for i in range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1)]) AS u,
+                   greatest(length(text) - {WINNOW_K - 1}, 1) AS npos
+            FROM {v})"""
+    return f"""
+        WITH kg AS ({kg}),
+        wm AS (
+          SELECT doc_id, pos, npos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+          FROM kg),
+        fps AS (
+          SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= npos - {WINNOW_W} + 1),
+        live AS (
+          SELECT fp FROM fps GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND {WINNOW_DF_CAP})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a
+        JOIN live l ON l.fp = a.fp
+        JOIN fps b ON b.fp = a.fp AND b.doc_id > a.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+@register(
+    "dedup_winnow_passages",
+    _winnow_sql("duckdb", "documents"),
+    f"Winnowed k-gram passage fingerprinting (MOSS, Schleimer et al. 2003): "
+    f"min-hash of each {WINNOW_W}-window of {WINNOW_K}-char-gram hashes, "
+    f"stop-fingerprint df-cap {WINNOW_DF_CAP}, pairs sharing >= "
+    f"{WINNOW_MIN_SHARED} fingerprints — detects shared PASSAGES (any "
+    f"common substring >= {WINNOW_K + WINNOW_W - 1} chars is guaranteed "
+    "caught): the quotation/boilerplate/partial-copy complement to the "
+    "whole-document dedup family",
+)
+def dedup_winnow_passages(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view_parallel(spark, sf)
+    return spark.sql(_winnow_sql("spark", v))
