@@ -150,7 +150,9 @@ PR_SCALE = 1_000_000  # rank carried in integer micro-units
 PR_SUPP_OFFSET = 10_000_000  # supplier node ids, disjoint from customer keys
 
 
-def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank_fixed(
+    edges: DataFrame, iters: int = PR_ITERS, assume_distinct: bool = False
+) -> DataFrame:
     """Integer-exact damped PageRank, a fixed number of synchronous
     iterations over a directed edge list (src, dst).
 
@@ -160,6 +162,8 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     sides, so the result is order-free, partitioning-free and bit-identical
     on any engine (the a19_corr_exact determinism trick applied to an
     iterative algorithm; a float PageRank would drift with partition count).
+    ``assume_distinct`` skips the defensive edge dedup (one full-edge
+    shuffle) when the caller's construction already guarantees it.
 
     Scale shape: the (edge ⋈ out-degree) relation is computed ONCE and
     localCheckpointed — each iteration is then a single equi-join of the
@@ -170,11 +174,15 @@ def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     (callers pass symmetrized or pruned-dangling graphs), so no dangling
     mass term is needed.
     """
-    e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).filter(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct()
+    # pin the edge list BEFORE deriving degrees: deg and the ed join both
+    # consume it, and without the checkpoint each re-runs the caller's
+    # edge-construction plan (measured 2x the whole query's cost at sf0.1)
+    e = e.localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     ed = e.join(deg, "src").localCheckpoint()
     r = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
@@ -225,7 +233,7 @@ def _pagerank_sql(d: str) -> str:
     """
 
 
-def _triangle_sql(d: str, v: str) -> str:
+def _triangle_sql(d: str, v: str, edge_sql: str | None = None) -> str:
     """Triangle participation counts over the MinHash-LSH candidate graph —
     the standard ordered-edge (compact-forwarding) enumeration: every edge
     is stored once as (a < b), and a triangle {a<b<c} is found exactly once
@@ -237,7 +245,7 @@ def _triangle_sql(d: str, v: str) -> str:
     from .textops import _lsh_pairs_sql
 
     return f"""
-        WITH e AS ({_lsh_pairs_sql(d, v)}),
+        WITH e AS ({edge_sql or _lsh_pairs_sql(d, v)}),
         tri AS (
           SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
           FROM e e1
@@ -262,10 +270,18 @@ def _triangle_sql(d: str, v: str) -> str:
     "ordered degrees, never n³, and both joins are plain node-key shuffles",
 )
 def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    from .textops import _docs_view_parallel
+    from .textops import _docs_view_parallel, _lsh_pairs_sql
 
     v = _docs_view_parallel(spark, sf)
-    return spark.sql(_triangle_sql("spark", v))
+    # the edge set is referenced three times by the triangle join: pin it
+    # once (localCheckpoint) so the shingle->minhash->band stage runs once,
+    # not three times — same materialization discipline as the CC loops
+    spark.sql(_lsh_pairs_sql("spark", v)).localCheckpoint().createOrReplaceTempView(
+        "v_tri_edges"
+    )
+    return spark.sql(
+        _triangle_sql("spark", v, edge_sql="SELECT doc_a, doc_b FROM v_tri_edges")
+    )
 
 
 @register(
@@ -285,14 +301,19 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
     load(spark, sf, "orders").createOrReplaceTempView("v_pr_orders")
     load(spark, sf, "lineitem").createOrReplaceTempView("v_pr_lineitem")
+    # one orders⋈lineitem pass: distinct (cust, supp) base, then both edge
+    # directions by projection (direction sets are disjoint by the id
+    # offset, so the symmetrized set needs no second dedup — the oracle's
+    # UNION spells the same set declaratively)
     edges = spark.sql(f"""
-        SELECT o.o_custkey AS src, l.l_suppkey + {PR_SUPP_OFFSET} AS dst
-        FROM v_pr_orders o JOIN v_pr_lineitem l ON l.l_orderkey = o.o_orderkey
-        UNION
-        SELECT l.l_suppkey + {PR_SUPP_OFFSET} AS src, o.o_custkey AS dst
-        FROM v_pr_orders o JOIN v_pr_lineitem l ON l.l_orderkey = o.o_orderkey
+        WITH base AS (
+          SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + {PR_SUPP_OFFSET} AS s
+          FROM v_pr_orders o JOIN v_pr_lineitem l ON l.l_orderkey = o.o_orderkey)
+        SELECT c AS src, s AS dst FROM base
+        UNION ALL
+        SELECT s AS src, c AS dst FROM base
     """)
-    r = pagerank_fixed(edges, PR_ITERS)
+    r = pagerank_fixed(edges, PR_ITERS, assume_distinct=True)
     top = r.orderBy(F.desc("r"), F.asc("node")).limit(25)
     # rank the 25-row result; pmod keeps WindowExec off the single-partition
     # warning path without changing the (global) ordering semantics
