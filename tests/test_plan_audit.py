@@ -59,6 +59,10 @@ AUDITED = [
     "ts_asof_last_signup",
     "a20_rollup",
     "j9_range_join",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "dedup_semdedup",
+    "dedup_winnow_passages",
 ]
 
 HARD = {"cartesian", "bnlj", "rr-python", "single-part"}
