@@ -42,7 +42,7 @@ def salted_join(
     spreads rows; the salt is pmod(xxhash64(row_unique), n_salts) —
     deterministic, no RNG. Output columns = fact.* + dim.* minus the
     duplicate key (same contract as df.join(dim, key, how))."""
-    f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(row_unique)), F.lit(n_salts)))
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.expr(row_unique)), F.lit(n_salts)))
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
     )
