@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 
 from ..datagen.images import decode_image, make_images
 from ..datagen.web import CrawlConfig, SyntheticWeb
-from ..tables import TableCatalog
+from ..tables import open_catalog
 from .canonicalize import (
     canonical_url_col,
     host_col,
@@ -234,7 +234,7 @@ class CrawlEngine:
         assert bloom_mode in ("partitioned", "broadcast")
         self.spark = spark
         self.cfg = cfg
-        self.catalog = TableCatalog(workdir)
+        self.catalog = open_catalog(workdir, spark)  # Iceberg when the runtime is present
         self.workdir = workdir
         self.use_bloom = use_bloom
         self.bloom_mode = bloom_mode
@@ -642,6 +642,18 @@ class CrawlEngine:
     def run_round(self, state: dict) -> tuple[dict, RoundStats] | None:
         rnd = state["round_completed"] + 1
         tm = _StageTimer(f"round{rnd}")
+        # A failed round leaves orphan appends past the committed snapshots
+        # (the frontier delete file is scheduled eagerly, mid-round). run()
+        # reconciles on resume, but a caller retrying run_round(state)
+        # in-process would stack this round's appends on the orphans and
+        # permanently drop the failed round's scheduled URLs — so roll back
+        # first whenever any engine table has moved past the state's
+        # snapshot. Driver-side manifest reads only; no Spark job.
+        if any(
+            self.catalog.exists(t) and self.catalog.snapshots(t)[-1]["id"] != snap
+            for t, snap in state["snapshots"].items()
+        ):
+            self._reconcile_to_state(state)
         frontier = self._read("frontier", state)
         # counter bookkeeping replaces an isEmpty() probe job; states written
         # by older checkpoints fall back to the probe

@@ -106,3 +106,42 @@ def test_empty_crawl_projections_are_empty_not_errors(spark, tmp_path):
     eng.run()
     assert eng.fetch_log().count() == 0
     assert eng.images().count() == 0
+
+
+def test_run_round_retry_in_process_reconciles(spark, tmp_path):
+    """A caller that catches a mid-round failure and re-invokes
+    run_round(state) IN-PROCESS (no run()/resume round-trip) must not stack
+    the retry's appends on the failed attempt's orphans — run_round rolls
+    back to the committed state first whenever a table tip has moved past
+    the state's snapshot (r4 ADVICE item on the eager frontier delete)."""
+    wd = str(tmp_path / "retry")
+    one_round = CrawlConfig(n_seeds=6, max_rounds=1, per_host_cap=4, web=CFG.web)
+    CrawlEngine(spark, one_round, wd).run()
+
+    # inject orphan appends exactly as a failed round-1 attempt leaves them
+    for table in ("frontier", "seen"):
+        tdir = os.path.join(wd, table)
+        mpath = os.path.join(tdir, "_manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        last = manifest["snapshots"][-1]
+        orphan_id = last["id"] + 1
+        shutil.copytree(
+            os.path.join(tdir, f"snap={last['id']}"), os.path.join(tdir, f"snap={orphan_id}")
+        )
+        manifest["snapshots"].append(
+            {"id": orphan_id, "kind": "append", "members": last["members"] + [orphan_id]}
+        )
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+
+    # the "retry": drive the remaining rounds through run_round directly
+    eng = CrawlEngine(spark, CFG, wd)
+    state = eng.load_state()
+    while state["round_completed"] + 1 < CFG.max_rounds:
+        out = eng.run_round(state)
+        if out is None:
+            break
+        state, _ = out
+
+    assert _fetch_order(eng) == simulate_crawl(CFG).fetch_order
