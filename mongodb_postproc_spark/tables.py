@@ -48,12 +48,48 @@ site already goes through this facade, so swapping in
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def open_catalog(root: str, spark: SparkSession | None = None, backend: str | None = None):
+    """Runtime backend switch (the north rule's deployment target).
+
+    ``backend`` (or env ``SPARK_GRAFT_CATALOG``): ``parquet`` forces the
+    manifest backend below; ``iceberg`` requires the Iceberg Spark runtime
+    (raises otherwise); ``auto`` (default) lights up Iceberg iff the runtime
+    class loads in the given session AND an Iceberg catalog name is
+    configured via ``SPARK_GRAFT_ICEBERG_CATALOG`` — so the identical engine
+    code runs on real Iceberg on a cluster that ships the jar and falls back
+    to the parquet contract implementation here (this sandbox has no jar).
+    The Iceberg namespace is derived from ``root`` so concurrent workdirs
+    stay isolated, exactly like the parquet layout.
+    """
+    backend = backend or os.environ.get("SPARK_GRAFT_CATALOG", "auto")
+    if backend not in ("auto", "parquet", "iceberg"):
+        raise ValueError(f"unknown catalog backend {backend!r}")
+    if backend != "parquet" and spark is not None:
+        cat_name = os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG")
+        from .iceberg import IcebergTableCatalog, iceberg_runtime_available
+
+        available = cat_name is not None and iceberg_runtime_available(spark)
+        if backend == "iceberg" and not available:
+            raise RuntimeError(
+                "backend=iceberg requires the Iceberg Spark runtime on the "
+                "classpath and SPARK_GRAFT_ICEBERG_CATALOG naming a configured "
+                "spark.sql.catalog.<name>"
+            )
+        if available:
+            ns = "wd_" + hashlib.sha256(os.path.abspath(root).encode()).hexdigest()[:12]
+            return IcebergTableCatalog(spark, cat_name, ns)
+    elif backend == "iceberg":
+        raise RuntimeError("backend=iceberg needs a SparkSession")
+    return TableCatalog(root)
 
 
 class TableCatalog:
