@@ -35,14 +35,24 @@ def get_spark(
     heap (see below); tests/dev sessions keep a small lazily-grown heap so a
     unit test neither needs 16 GB free nor pays the multi-second pre-touch.
     Override either way with SPARK_GRAFT_PREALLOC=0/1 + SPARK_GRAFT_DRIVER_MEM.
+
+    ``SPARK_GRAFT_MASTER_TEMPLATE`` (e.g. ``local-cluster[{n},1,3072]``)
+    replaces the ``local[{n}]`` master with ``{n}`` = the requested cores —
+    the multi-JVM ladder variant of the scaling protocol: real executor
+    processes with their own heaps and python workers, the regime a
+    spark-submit deployment runs in. Executor memory for local-cluster is
+    taken from the template's per-executor MB figure by Spark itself.
     """
+    template = os.environ.get("SPARK_GRAFT_MASTER_TEMPLATE")
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{env}]" if env else "local[*]"
         ncores = int(env) if env else (os.cpu_count() or 8)
+        master = f"local[{env}]" if env else "local[*]"
+        if template and env:
+            master = template.format(n=ncores)
     else:
-        master = f"local[{cores}]"
         ncores = cores
+        master = (template or "local[{n}]").format(n=cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(ncores, 8)
 
@@ -94,14 +104,21 @@ def physical_cores() -> int:
     import glob
 
     cores = set()
-    for p in glob.glob("/sys/devices/system/cpu/cpu[0-9]*/topology/core_id"):
+    paths = glob.glob("/sys/devices/system/cpu/cpu[0-9]*/topology/core_id")
+    for p in paths:
         try:
             pkg = p.replace("core_id", "physical_package_id")
             with open(p) as f1, open(pkg) as f2:
                 cores.add((f2.read().strip(), f1.read().strip()))
         except OSError:
             break
-    if cores and len(cores) < ncpu:
+    if cores and len(paths) == ncpu:
+        # complete topology: len(cores) == ncpu means no SMT (each CPU its
+        # own core — true on this round's host: lscpu 1 thread/core, and
+        # local[32] measures FASTER than local[16] on the crawl round);
+        # len(cores) < ncpu counts the physical cores behind the siblings.
+        # A hypervisor that fabricates per-thread core_ids over-reports
+        # here — override with SPARK_GRAFT_PHYS_CORES on such hosts.
         return len(cores)
     return max(1, ncpu // 2)
 
