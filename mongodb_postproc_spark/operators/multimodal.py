@@ -378,27 +378,25 @@ def mm_caption_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     FROM packed
     """,
     "WebDataset-style shard packing: greedy sequential byte-budget packer "
-    "per source host — running-sum window inside each host partition "
-    "assigns every image+caption record a shard id (integer-exact, no "
-    "global funnel; at cluster scale each host's window is one partition "
-    "of a hash-partitioned window exchange). Golden-oracle checked",
+    "per source host — the running byte offset is a SKEW-PROOF two-level "
+    "prefix sum (functions/skew.py:skewed_running_sum): a pathological "
+    "mega-host splits across order-aligned buckets instead of serializing "
+    "into one window task, with byte-identical shard ids (integer-exact "
+    "arithmetic; equality vs the plain window asserted in "
+    "tests/test_skew_salting.py). Golden-oracle checked",
 )
 def mm_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from mongodb_postproc_spark.functions.skew import skewed_running_sum
 
     imgs = _images_df(spark, sf).select(
         "doc_id", "image_id",
         F.regexp_extract("url_canon", r"http://([^/]+)/", 1).alias("host"),
         F.octet_length("bytes").alias("n_bytes"),
     )
-    w = (
-        Window.partitionBy("host")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return imgs.select(
+    packed = skewed_running_sum(imgs, ["host"], ["doc_id"], "n_bytes", out_col="__cum")
+    return packed.select(
         "image_id", "host", "n_bytes",
-        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / F.lit(_SHARD_BYTES))
+        F.floor((F.col("__cum") - F.col("n_bytes")) / F.lit(_SHARD_BYTES))
         .cast("bigint")
         .alias("shard_id"),
     )

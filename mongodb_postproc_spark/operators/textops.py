@@ -22,6 +22,7 @@ candidates, mirroring Bloom-prefilter + exact-confirm in the crawl).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.hashes import duckdb_h60_sql, spark_h60_sql
 from .base import load, register
@@ -782,13 +783,35 @@ def _context_pack_sql(dialect: str, docs: str) -> str:
     "pipeline_context_pack",
     _context_pack_sql("duckdb", "documents"),
     "Sequence packing manifest: documents concatenated into fixed "
-    "token-budget context windows per source shard (running-sum window, "
-    "per-shard parallel) — the batch-construction step of a pretraining "
-    "data pipeline",
+    "token-budget context windows per source shard. The running token "
+    "offset is the skew-proof two-level prefix sum "
+    "(functions/skew.py:skewed_running_sum) — a source shard carrying 90% "
+    "of the corpus packs across many tasks with byte-identical window ids "
+    "— the batch-construction step of a pretraining data pipeline",
 )
 def pipeline_context_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from mongodb_postproc_spark.functions.skew import skewed_running_sum
+
     v = _docs_view(spark, sf)
-    return spark.sql(_context_pack_sql("spark", v))
+    t = spark.table(v).select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    packed = skewed_running_sum(t, ["source"], ["doc_id"], "n_tokens", out_col="__cum")
+    # float division matches the oracle SQL's `/ {PACK_BUDGET}.0` exactly
+    win = F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(float(PACK_BUDGET))).cast(
+        "bigint"
+    )
+    return (
+        packed.withColumn("window_id", win)
+        .groupBy("source", "window_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("window_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

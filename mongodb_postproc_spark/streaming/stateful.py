@@ -105,7 +105,15 @@ def shard_pack_fn_factory(shard_bytes: int):
     record's shard is determined by the running byte offset of its host's
     stream at the moment it arrives (state = offset after the last record).
     The streaming twin of the batch mm_shard_pack window — identical
-    packing decision, but the 'window' extends across micro-batches."""
+    packing decision, but the 'window' extends across micro-batches.
+
+    Skew bound: a hot host's work per trigger is one vectorized pandas
+    cumsum over ITS ROWS IN THAT MICRO-BATCH — the bound is the source's
+    admission limit (maxOffsetsPerTrigger / maxFilesPerTrigger), not the
+    corpus. Sequential state per host is inherent to the packing semantics
+    (shard n+1's offset depends on shard n); the batch-side packer
+    (operators/multimodal.py:mm_shard_pack) defuses the same skew with the
+    two-level prefix sum in functions/skew.py:skewed_running_sum."""
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
