@@ -12,10 +12,11 @@ Checks, in order:
      BENCH_r{N}.json (derived at print time from BENCH_SCALING.json) matches
      the file — i.e. the next driver artifact CANNOT disagree with the full
      record.
-  4. If --head is given (or git is available), the rep stamp equals the
-     current HEAD short hash: no rep predates the code it measures.
+  4. Currency (default ON, opt out with --no-currency): no crawl-path
+     module changed between the rep stamp and HEAD — no rep predates the
+     code it measures.
 
-Run:  python tools/check_bench_consistency.py [--head]
+Run:  python tools/check_bench_consistency.py [--no-currency]
 Exit: 0 clean, 1 with a human-readable diagnosis on stderr.
 """
 

@@ -1,0 +1,155 @@
+"""Dedup-trio scale soak: the empirical version of the plans' 100x argument.
+
+The three most expensive dedup queries (connected components via
+large/small-star, MOSS winnowing, n-gram Jaccard confirm) are banded /
+candidate-bounded designs whose cost should grow ~linearly in rows. The
+per-round VERDICTs accept that argument on paper; this tool measures it:
+generate the same synthetic corpus at several sizes (identical per-doc
+statistics and duplicate rate — only the row count changes), run the trio
+at each size, and report the growth exponent per query
+(log(t_big/t_small) / log(n_big/n_small), sizes beyond fixed-overhead
+noise). Exponent ~1 = linear; the 10x size step stands in for the 10x
+sf0.1->sf1 step the sandbox has no driver data for.
+
+The corpus mimics /root/testdata documents: the actual sf0.1 vocabulary,
+similar length distribution, and planted duplicate structure (5% exact
+copies, 25% near-dup mutations of an earlier doc) so the LSH/winnow
+candidate rate per doc is size-independent — the regime where a banded
+design must be linear and an all-pairs design would be quadratic.
+Deterministic: numpy PCG with fixed seed per size.
+
+Run:  python tools/dedup_soak.py [--sizes 5000,15000,50000]
+Prints one JSON line; the committed artifact is BENCH_DEDUP_SOAK.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+TRIO = ["dedup_cluster_components_star", "dedup_winnow_passages", "dedup_ngram_jaccard"]
+REF_DOCS = "/root/testdata/sf0.1/documents.parquet"
+
+
+def _vocab_and_lengths() -> tuple[list[str], list[int]]:
+    import duckdb
+
+    con = duckdb.connect()
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(regexp_split_to_array(text, ' ')) "
+            f"FROM read_parquet('{REF_DOCS}')"
+        ).fetchall()
+        if r[0]
+    ]
+    lens = [
+        r[0]
+        for r in con.execute(
+            f"SELECT len(regexp_split_to_array(text, ' ')) "
+            f"FROM read_parquet('{REF_DOCS}')"
+        ).fetchall()
+    ]
+    return sorted(vocab), lens
+
+
+def gen_documents(out_dir: str, n_docs: int, vocab: list[str], lens: list[int]) -> str:
+    """Deterministic corpus with size-independent per-doc statistics."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)  # same stream prefix at every size
+    varr = np.array(vocab)
+    larr = np.array(lens)
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if i > 16 and r < 0.05:  # exact duplicate of an earlier doc
+            texts.append(texts[int(rng.integers(0, i))])
+        elif i > 16 and r < 0.30:  # near-dup: mutate ~5% of tokens
+            toks = texts[int(rng.integers(0, i))].split(" ")
+            n_mut = max(1, len(toks) // 20)
+            for j in rng.integers(0, len(toks), n_mut):
+                toks[int(j)] = str(varr[int(rng.integers(0, len(varr)))])
+            texts.append(" ".join(toks))
+        else:
+            n = int(larr[int(rng.integers(0, len(larr)))])
+            texts.append(" ".join(varr[rng.integers(0, len(varr), n)]))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n_docs),
+            "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+def main() -> None:
+    sizes = [5000, 15000, 50000]
+    if "--sizes" in sys.argv:
+        sizes = [int(s) for s in sys.argv[sys.argv.index("--sizes") + 1].split(",")]
+
+    from mongodb_postproc_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    vocab, lens = _vocab_and_lengths()
+    spark = get_spark("dedup_soak", bench=True)
+    spark.range(1000).selectExpr("sum(id)").collect()  # warm job machinery
+    qs = entrymod.queries()
+
+    base = tempfile.mkdtemp(prefix="dedup_soak_", dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None)
+    times: dict[str, dict[int, float]] = {q: {} for q in TRIO}
+    rows_out: dict[str, dict[int, int]] = {q: {} for q in TRIO}
+    try:
+        for n in sizes:
+            d = gen_documents(os.path.join(base, f"n{n}"), n, vocab, lens)
+            for q in TRIO:
+                t0 = time.monotonic()
+                cnt = qs[q](spark, d).count()
+                times[q][n] = round(time.monotonic() - t0, 2)
+                rows_out[q][n] = cnt
+                print(f"[soak] {q} n={n}: {times[q][n]}s ({cnt} rows)",
+                      file=sys.stderr, flush=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+    lo, hi = sizes[0], sizes[-1]
+    exponents = {
+        q: round(math.log(times[q][hi] / times[q][lo]) / math.log(hi / lo), 3)
+        for q in TRIO
+    }
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+    print(json.dumps({
+        "commit": head,
+        "sizes": sizes,
+        "seconds": {q: {str(n): t for n, t in ts.items()} for q, ts in times.items()},
+        "result_rows": {q: {str(n): c for n, c in cs.items()} for q, cs in rows_out.items()},
+        "growth_exponent_lo_to_hi": exponents,
+        "note": "exponent ~1 = linear in rows; banded designs must stay far "
+                "below the all-pairs exponent 2. Fixed per-job overhead makes "
+                "small sizes read sublinear.",
+    }))
+
+
+if __name__ == "__main__":
+    main()
