@@ -34,19 +34,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def summarize_regime(recs: list[dict], commit: str) -> dict:
-    runs: dict[str, list[dict]] = {}
-    for rec in recs:
-        r0 = rec["result"]["rounds"][0]
-        runs.setdefault(f"local-cluster[{rec['n']},1,3072]", []).append({
-            "n_urls_fetched": r0["fetched"],
-            "seconds": r0["seconds"],
-            "urls_per_sec": r0["urls_per_sec"],
-            "workdir_fs": "tmpfs",
-            "executors": rec["n"],
-            "commit": commit,
-            "probe_1p": rec["probe_1p"],
-        })
+def pairs_from_runs(runs: dict[str, list[dict]]) -> dict:
+    """N->4N pair summaries recomputed from per-rep run records — the same
+    function builds the artifact and (in tests/test_cluster_ladder_summary.py)
+    re-derives it from the artifact's own embedded reps, so no pair number
+    can be pasted or stale relative to the reps beside it."""
 
     def leg(n: int) -> list[float]:
         return [r["urls_per_sec"] for r in runs[f"local-cluster[{n},1,3072]"]]
@@ -76,11 +68,26 @@ def summarize_regime(recs: list[dict], commit: str) -> dict:
                 "fit_scaling_work_sec": round(w, 1),
                 "fit_fixed_sec_per_round": round(f, 1),
             }
+    return pairs
 
+
+def summarize_regime(recs: list[dict], commit: str) -> dict:
+    runs: dict[str, list[dict]] = {}
+    for rec in recs:
+        r0 = rec["result"]["rounds"][0]
+        runs.setdefault(f"local-cluster[{rec['n']},1,3072]", []).append({
+            "n_urls_fetched": r0["fetched"],
+            "seconds": r0["seconds"],
+            "urls_per_sec": r0["urls_per_sec"],
+            "workdir_fs": "tmpfs",
+            "executors": rec["n"],
+            "commit": commit,
+            "probe_1p": rec["probe_1p"],
+        })
     fetched = sorted({r["n_urls_fetched"] for rs in runs.values() for r in rs})
     return {
         "fetched_set_identical": fetched,
-        "all_pairs": pairs,
+        "all_pairs": pairs_from_runs(runs),
         "runs": runs,
     }
 
