@@ -33,12 +33,12 @@ def test_pair_math_on_synthetic_reps():
     # perfect 4x scaling with a 10 s fixed cost: t(2)=210, t(8)=60
     runs = {
         "local-cluster[2,1,3072]": [
-            {"urls_per_sec": 100_000 / 210.0, "seconds": 210.0},
-            {"urls_per_sec": 100_000 / 220.0, "seconds": 220.0},
+            {"urls_per_sec": 100_000 / 210.0, "seconds": 210.0, "n_urls_fetched": 100_000},
+            {"urls_per_sec": 100_000 / 220.0, "seconds": 220.0, "n_urls_fetched": 100_000},
         ],
         "local-cluster[8,1,3072]": [
-            {"urls_per_sec": 100_000 / 60.0, "seconds": 60.0},
-            {"urls_per_sec": 100_000 / 62.0, "seconds": 62.0},
+            {"urls_per_sec": 100_000 / 60.0, "seconds": 60.0, "n_urls_fetched": 100_000},
+            {"urls_per_sec": 100_000 / 62.0, "seconds": 62.0, "n_urls_fetched": 100_000},
         ],
     }
     pairs = mod.pairs_from_runs(runs)
@@ -50,6 +50,9 @@ def test_pair_math_on_synthetic_reps():
     # fit: w = (210-60)/(1/2-1/8) = 400, f = 210 - 400/2 = 10
     assert p["fit_scaling_work_sec"] == 400.0
     assert p["fit_fixed_sec_per_round"] == 10.0
+    # per-row restatement: a = (w+f)/rows, s = f/rows
+    assert p["fit_scalable_us_per_row"] == round(410.0 / 100_000 * 1e6, 1)
+    assert p["fit_nonscaling_us_per_row"] == round(10.0 / 100_000 * 1e6, 1)
 
 
 @pytest.mark.skipif(not os.path.exists(ARTIFACT), reason="artifact not recorded yet")
