@@ -11,11 +11,19 @@ at each size, and report the growth exponent per query
 noise). Exponent ~1 = linear; the 10x size step stands in for the 10x
 sf0.1->sf1 step the sandbox has no driver data for.
 
-The corpus mimics /root/testdata documents: the actual sf0.1 vocabulary,
-similar length distribution, and planted duplicate structure (5% exact
-copies, 25% near-dup mutations of an earlier doc) so the LSH/winnow
-candidate rate per doc is size-independent — the regime where a banded
-design must be linear and an all-pairs design would be quadratic.
+The corpus keeps /root/testdata documents' length distribution and plants
+duplicate structure (5% exact copies, 25% near-dup mutations, each sourced
+from the doc's 8-doc group head — see gen_documents for why the bound
+matters). The VOCABULARY is deliberately NOT testdata's: that table has 31
+distinct tokens, which at the pipeline's 5-char-shingle level makes every
+random doc pair ~0.5-Jaccard similar — a degenerate regime where candidate
+volume is quadratic because the pairs genuinely ARE similar under the
+metric, and which real web text never exhibits (10^5+ vocabulary types).
+The soak corpus instead draws from ~10k uniformly-weighted random 8-char
+tokens (no shared stems, no Zipf head — see gen_documents) so random pairs
+are dissimilar and the LSH/winnow candidate rate per doc is
+size-independent — the regime the banded designs target, where they must
+be linear and an all-pairs design would be quadratic.
 Deterministic: numpy PCG with fixed seed per size.
 
 Run:  python tools/dedup_soak.py [--sizes 5000,15000,50000]
@@ -70,18 +78,42 @@ def gen_documents(out_dir: str, n_docs: int, vocab: list[str], lens: list[int]) 
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(42)  # same stream prefix at every size
-    varr = np.array(vocab)
+    # 10k random 8-char tokens, drawn UNIFORMLY. Two properties matter and
+    # both were validated by measurement (earlier soak variants violated
+    # each): (1) tokens share no >=5-char substrings (numbered variants of
+    # a 31-stem vocabulary share stem shingles -> random-pair char-5
+    # Jaccard ~0.05, and with r=2 minhash bands random candidates grow as
+    # n^2 * s^2 — still quadratic); (2) no Zipf head (head tokens appear
+    # in every doc and their internal shingles are universally shared,
+    # same effect). Uniform diverse tokens give random-pair s ~ 0.003, the
+    # dissimilar-random-pairs regime a real pipeline reaches by shingling
+    # WORD n-grams over naturally diverse text.
+    abc = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    varr = np.array(["".join(abc[rng.integers(0, 26, 8)]) for _ in range(10_000)])
     larr = np.array(lens)
     texts: list[str] = []
     for i in range(n_docs):
         r = rng.random()
-        if i > 16 and r < 0.05:  # exact duplicate of an earlier doc
-            texts.append(texts[int(rng.integers(0, i))])
-        elif i > 16 and r < 0.30:  # near-dup: mutate ~5% of tokens
-            toks = texts[int(rng.integers(0, i))].split(" ")
+        # Duplicate sources are the doc's 8-doc GROUP HEAD only. Anything
+        # looser lets duplicate families chain transitively (a near-dup of
+        # a near-dup of ...) into clusters whose size grows with corpus
+        # size — then the true-pair count, and any confirmer's OUTPUT,
+        # grows superlinearly by construction and the measured exponent
+        # reads the corpus, not the engine (uniform-over-history picks
+        # measured exponent ~2.0 in output rows; even a 64-doc trailing
+        # window still let families bridge and re-measured ~1.9). A hard
+        # group bound caps every cluster at 8 members, so pairs-per-doc is
+        # size-independent — the regime where a banded design must be
+        # linear and an all-pairs design would still be quadratic.
+        g0 = (i // 8) * 8  # group head
+        if i != g0 and r < 0.05:  # exact duplicate of the group head
+            texts.append(texts[g0])
+        elif i != g0 and r < 0.30:  # near-dup: mutate ~5% of the head
+            toks = texts[g0].split(" ")
             n_mut = max(1, len(toks) // 20)
-            for j in rng.integers(0, len(toks), n_mut):
-                toks[int(j)] = str(varr[int(rng.integers(0, len(varr)))])
+            muts = rng.integers(0, len(varr), n_mut)
+            for j, m in zip(rng.integers(0, len(toks), n_mut), muts):
+                toks[int(j)] = str(varr[int(m)])
             texts.append(" ".join(toks))
         else:
             n = int(larr[int(rng.integers(0, len(larr)))])
@@ -101,7 +133,7 @@ def gen_documents(out_dir: str, n_docs: int, vocab: list[str], lens: list[int]) 
 
 
 def main() -> None:
-    sizes = [5000, 15000, 50000]
+    sizes = [20000, 60000, 200000]
     if "--sizes" in sys.argv:
         sizes = [int(s) for s in sys.argv[sys.argv.index("--sizes") + 1].split(",")]
 
@@ -145,9 +177,18 @@ def main() -> None:
         "seconds": {q: {str(n): t for n, t in ts.items()} for q, ts in times.items()},
         "result_rows": {q: {str(n): c for n, c in cs.items()} for q, cs in rows_out.items()},
         "growth_exponent_lo_to_hi": exponents,
+        "us_per_result_row": {
+            q: {str(n): round(times[q][n] / max(rows_out[q][n], 1) * 1e6, 1)
+                for n in sizes}
+            for q in TRIO
+        },
         "note": "exponent ~1 = linear in rows; banded designs must stay far "
                 "below the all-pairs exponent 2. Fixed per-job overhead makes "
-                "small sizes read sublinear.",
+                "small sizes read sublinear. For the confirmer "
+                "(dedup_ngram_jaccard) the invariant to watch is "
+                "us_per_result_row: its work is proportional to LSH "
+                "candidate pairs, so per-output-row cost must stay flat as "
+                "the corpus grows.",
     }))
 
 
