@@ -294,6 +294,109 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MinHash + LSH, scale-tier banding (word shingles, wider bands)
+# --------------------------------------------------------------------------
+
+WG_WORDS = 3  # words per shingle
+WG_LANES = 8  # minhash lanes (two md5 digests per shingle)
+WG_R = 4  # lanes per band -> 2 bands
+
+
+def _wg_lane_exprs(dialect: str) -> str:
+    """WG_LANES min-hash lanes from TWO md5 digests per shingle (hx1, hx2
+    exposed by the hashed subquery): lanes 0-3 slice hx1, lanes 4-7 slice
+    hx2 — same 32-bit hex slicing as _minhash_exprs, same on both engines."""
+    cols = []
+    for j in range(WG_LANES):
+        src = "hx1" if j < 4 else "hx2"
+        off = (j % 4) * 8 + 1
+        if dialect == "spark":
+            h = f"cast(conv(substring({src}, {off}, 8), 16, 10) as bigint)"
+        else:
+            h = f"('0x' || substr({src}, {off}, 8))::BIGINT"
+        cols.append(f"min({h}) AS mh{j}")
+    return ", ".join(cols)
+
+
+def _wg_sigs_sql(dialect: str, v: str = "documents") -> str:
+    """Word-{WG_WORDS}-gram shingle → 8-lane minhash signatures.
+
+    Word shingles are the scale-tier unit: character shingles over corpora
+    with a shared token head (Zipf text, or this testdata's 31-token
+    vocabulary) give UNRELATED doc pairs baseline Jaccard s ≈ 0.05-0.5, and
+    any (b, r) banding admits ~n²·s^r random-collision candidates — the
+    dedup soak (tools/dedup_soak.py, BENCH_DEDUP_SOAK.json) measured the
+    resulting output exponent ~2. Word n-grams drive s → 0 for unrelated
+    docs (a shared 3-word sequence is evidence, a shared 5-char substring
+    is not), which is what keeps candidate volume ∝ n at 10^10 docs."""
+    if dialect == "spark":
+        shingles = f"""
+            SELECT doc_id, explode(transform(
+                     sequence(1, greatest(size(split(text, ' ')) - {WG_WORDS - 1}, 1)),
+                     i -> concat_ws(' ', slice(split(text, ' '), i, {WG_WORDS})))) AS shingle
+            FROM {v}
+        """.strip()
+        return f"""
+          SELECT doc_id, {_wg_lane_exprs("spark")} FROM (
+            SELECT doc_id, md5(shingle) AS hx1, md5(concat(shingle, '#')) AS hx2
+            FROM ({shingles}))
+          GROUP BY doc_id
+        """.strip()
+    return f"""
+      WITH words AS (
+        SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM {v}),
+      shingles AS (
+        SELECT doc_id,
+               unnest([array_to_string(w[CAST(i AS INT):CAST(i AS INT) + {WG_WORDS - 1}], ' ')
+                       for i in range(1, greatest(len(w) - {WG_WORDS - 1}, 1) + 1)]) AS shingle
+        FROM words),
+      hashed AS (
+        SELECT doc_id, md5(shingle) AS hx1, md5(shingle || '#') AS hx2 FROM shingles)
+      SELECT doc_id, {_wg_lane_exprs("duckdb")}
+      FROM hashed GROUP BY doc_id
+    """.strip()
+
+
+def _wg_lsh_pairs_sql(dialect: str, v: str = "documents") -> str:
+    # (b=2, r=4) banding: a candidate pair must agree on all FOUR lanes of
+    # some band — random-collision probability s^4 per band vs s^2 for the
+    # character-tier pipeline; with word shingles (s ~ 1e-3 for unrelated
+    # docs) random candidates are ~n²·1e-12: zero in practice at any n this
+    # engine targets, so the bucket join's input is the true near-dup set
+    n_bands = WG_LANES // WG_R
+    bands = " UNION ALL ".join(
+        "SELECT {b} AS band, {vs}, doc_id FROM sigs".format(
+            b=b,
+            vs=", ".join(f"mh{b * WG_R + k} AS v{k + 1}" for k in range(WG_R)),
+        )
+        for b in range(n_bands)
+    )
+    on = " AND ".join(f"a.v{k + 1} = b.v{k + 1}" for k in range(WG_R))
+    return f"""
+        WITH sigs AS ({_wg_sigs_sql(dialect, v)}),
+        bands AS ({bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND {on}
+         AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh_wordgram",
+    _wg_lsh_pairs_sql("duckdb"),
+    "Scale-tier MinHash LSH: word-3-gram shingles, 8 lanes, (b=2, r=4) "
+    "banding — the parameterization that keeps random-collision candidates "
+    "~0 on shared-vocabulary corpora where the character-tier pipeline's "
+    "candidates grow n²·s² (measured in BENCH_DEDUP_SOAK.json's design "
+    "notes); same band → bucket-join plan shape, no O(n²) stage",
+)
+def dedup_minhash_lsh_wordgram(spark: SparkSession, sf: str) -> DataFrame:
+    v = _docs_view_parallel(spark, sf)
+    return spark.sql(_wg_lsh_pairs_sql("spark", v))
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
