@@ -87,12 +87,25 @@ from .seen import (
 )
 
 FETCH_SCHEMA = (
-    "seq long, url_canon string, host string, depth int, round int, "
+    "seq long, url_canon string, host string, depth int, priority int, "
+    "discovery_ts long, attempts int, status int, round int, "
     "links array<string>, image_id string, bytes binary, w int, h int, "
     "fmt string, caption string, phash long, pid int"
 )
 
+# discovery-row columns (what dedup/robots-split produce); the frontier
+# TABLE additionally stores `attempts` (retry counter, 0 on discovery) and
+# `fkey` = url_canon#attempts — the equality-delete key. Deleting on
+# (url, attempts) instead of url keeps the global-scope MOR invariant
+# ("an appended row never matches an earlier delete key") valid under
+# retries: the schedule deletes (url, a), the backoff re-insert appends
+# (url, a+1).
 FRONTIER_COLS = ["url_canon", "host", "priority", "discovery_ts", "depth"]
+FRONTIER_TABLE_COLS = FRONTIER_COLS + ["attempts", "fkey"]
+
+
+def _fkey_col():
+    return F.concat_ws("#", F.col("url_canon"), F.col("attempts").cast("string"))
 
 PROBE_SCHEMA = (
     "url_canon string, host string, priority int, discovery_ts long, "
@@ -101,7 +114,9 @@ PROBE_SCHEMA = (
 
 # tables this engine produces; _reconcile_to_state only ever drops these —
 # anything else in the workdir (legacy-format tables, user extras) survives
-ENGINE_TABLES = ("frontier", "seen", "blocked", "pages", "seen_state", "lineage", "metrics")
+ENGINE_TABLES = (
+    "frontier", "seen", "blocked", "pages", "seen_state", "lineage", "metrics", "failed"
+)
 
 N_SALTS = 8
 SALT_PREPASS_MAX_CAP = 10_000  # politeness caps are small; beyond this the cap
@@ -129,9 +144,17 @@ def _fetch_factory(cfg: CrawlConfig, rnd: int):
     """mapInPandas fetch stage: synthetic GET + link extraction + image
     payload, vectorized per Arrow batch (analog of requests.get + xpath at
     /root/reference/findMissingPages.py:29-35, and of the CIF-payload
-    decode U1 — here the payload is the image)."""
+    decode U1 — here the payload is the image).
+
+    With ``cfg.web.status_mix`` the GET returns a per-URL HTTP status:
+    200 pages carry links + payload, 301s carry exactly their Location as
+    the single link (no payload), 503/410 carry nothing — the retry /
+    dead-letter routing happens downstream in run_round off the `status`
+    column. The non-mix path keeps the constant-200 fast path."""
 
     img_cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    carry_cols = ("seq", "url_canon", "host", "depth", "priority",
+                  "discovery_ts", "attempts")
 
     def fetch(batches):
         web = SyntheticWeb(cfg.web)
@@ -140,25 +163,41 @@ def _fetch_factory(cfg: CrawlConfig, rnd: int):
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
             urls = list(pdf["url_canon"])
-            imgs = make_images(urls)  # batch-vectorized payload synthesis
             # columnar assembly: carry the input columns through as arrays
             # and splice the payload record fields in as per-column lists —
             # no per-row dict is ever built (the only per-row python left
-            # is links_for, the stand-in for per-page HTML parsing)
-            out = {
-                "seq": pdf["seq"].to_numpy(),
-                "url_canon": pdf["url_canon"].to_numpy(),
-                "host": pdf["host"].to_numpy(),
-                "depth": pdf["depth"].to_numpy(),
-                "round": rnd,
-                "links": [web.links_for(u) for u in urls],
-                "pid": pid,
-            }
-            for c in img_cols:
-                out[c] = [im[c] for im in imgs]
+            # is links_for/status_for, the stand-in for per-page HTML work)
+            out = {c: pdf[c].to_numpy() for c in carry_cols}
+            out["round"] = rnd
+            out["pid"] = pid
+            if cfg.web.status_mix:
+                statuses = [
+                    web.status_for(u, int(a)) for u, a in zip(urls, pdf["attempts"])
+                ]
+                out["status"] = statuses
+                out["links"] = [
+                    web.links_for_status(u, s) for u, s in zip(urls, statuses)
+                ]
+                ok_idx = [i for i, s in enumerate(statuses) if s == 200]
+                imgs_ok = make_images([urls[i] for i in ok_idx])
+                # None-padded numeric columns MUST use pandas nullable int
+                # dtypes: a plain [None, <int64>] list coerces to float64
+                # and silently rounds 64-bit phashes (>2^53) on the way
+                # through Arrow
+                num_dtypes = {"w": "Int32", "h": "Int32", "phash": "Int64"}
+                for c in img_cols:
+                    col = [None] * len(urls)
+                    for j, i in enumerate(ok_idx):
+                        col[i] = imgs_ok[j][c]
+                    out[c] = pd.array(col, dtype=num_dtypes[c]) if c in num_dtypes else col
+            else:
+                out["status"] = 200
+                out["links"] = [web.links_for(u) for u in urls]
+                imgs = make_images(urls)  # batch-vectorized payload synthesis
+                for c in img_cols:
+                    out[c] = [im[c] for im in imgs]
             yield pd.DataFrame(out) if len(pdf) else pd.DataFrame(
-                columns=["seq", "url_canon", "host", "depth", "round", "links", "pid",
-                         *img_cols]
+                columns=[*carry_cols, "round", "pid", "status", "links", *img_cols]
             )
 
     return fetch
@@ -224,6 +263,9 @@ class RoundStats:
     new_urls: int
     frontier_after: int
     seen_after: int
+    redirects: int = 0
+    retried: int = 0
+    failed: int = 0
 
 
 class CrawlEngine:
@@ -603,7 +645,13 @@ class CrawlEngine:
         tm.mark("seed_gen")
         obs_seen = Observation("init_seen")
         obs_blocked = Observation("init_blocked")
-        self.catalog.create_or_replace("frontier", allowed.select(*FRONTIER_COLS))
+        self.catalog.create_or_replace(
+            "frontier",
+            allowed.select(*FRONTIER_COLS)
+            .withColumn("attempts", F.lit(0))
+            .withColumn("fkey", _fkey_col())
+            .select(*FRONTIER_TABLE_COLS),
+        )
         self.catalog.create_or_replace(
             "seen",
             seeds.observe(obs_seen, F.count(F.lit(1)).alias("n"))
@@ -698,6 +746,10 @@ class CrawlEngine:
             )
             .drop("__hr", "crawl_delay_ms")
         )
+        if "attempts" not in frontier.columns:
+            # legacy checkpoint written before retry support: all rows are
+            # first attempts
+            sched = sched.withColumn("attempts", F.lit(0))
         sched = assign_global_seq(
             sched, ["offset_ms", "host", "url_canon"], out_col="seq", start=state["next_seq"]
         )
@@ -714,7 +766,7 @@ class CrawlEngine:
         side_pool = ThreadPoolExecutor(max_workers=2)
         fut_frontier_delete = side_pool.submit(
             self.catalog.append_deletes,
-            "frontier", sched.select("url_canon"), "url_canon", "global",
+            "frontier", sched.select(_fkey_col().alias("fkey")), "fkey", "global",
         )
 
         # -- fetch (Arrow-vectorized; order is carried by seq, not wall
@@ -741,7 +793,9 @@ class CrawlEngine:
         # enough for the generator's (w,h)-stacked vectorization; measured
         # 16 > 48 > 10 partitions at 16 cores (28s vs 79s vs 52s).
         fetch_mult = int(os.environ.get("SPARK_GRAFT_FETCH_PARTS_MULT", "1"))
-        fetch_in = sched.select("seq", "url_canon", "host", "depth")
+        fetch_in = sched.select(
+            "seq", "url_canon", "host", "depth", "priority", "discovery_ts", "attempts"
+        )
         if fetch_mult > 0:
             fetch_in = fetch_in.repartition(
                 fetch_mult * self.spark.sparkContext.defaultParallelism
@@ -753,6 +807,22 @@ class CrawlEngine:
                 obs_pages,
                 F.count(F.lit(1)).alias("n_fetched"),
                 F.sum(F.size("links")).alias("n_links"),
+                F.sum((F.col("status") == 301).cast("long")).alias("n_redirects"),
+                F.sum(
+                    (
+                        (F.col("status") == 503)
+                        & (F.col("attempts") + 1 < F.lit(self.cfg.max_attempts))
+                    ).cast("long")
+                ).alias("n_retried"),
+                F.sum(
+                    (
+                        (F.col("status") == 410)
+                        | (
+                            (F.col("status") == 503)
+                            & (F.col("attempts") + 1 >= F.lit(self.cfg.max_attempts))
+                        )
+                    ).cast("long")
+                ).alias("n_failed"),
             )
         )
         # uncompressed parquet for pages: the dominant column is codec
@@ -763,6 +833,9 @@ class CrawlEngine:
         pm = obs_pages.get
         n_fetched = int(pm["n_fetched"])
         links_extracted = int(pm["n_links"] or 0)
+        n_redirects = int(pm["n_redirects"] or 0)
+        n_retried = int(pm["n_retried"] or 0)
+        n_failed = int(pm["n_failed"] or 0)
         results = self.catalog.read_snapshot_dir("pages", self.spark, pages_snap)
         tm.mark("schedule+fetch+write_pages")
 
@@ -782,6 +855,40 @@ class CrawlEngine:
                 .collect()
             )
         )
+
+        # -- transient-failure routing (status_mix webs; both plans read the
+        #    already-materialized round snapshot with a pushed-down status
+        #    filter, and are skipped entirely when the free observe counters
+        #    say the round had none — the all-200 common case pays nothing)
+        retry_rows = dead_rows = None
+        if n_retried:
+            retry_rows = (
+                results.filter(
+                    (F.col("status") == 503)
+                    & (F.col("attempts") + 1 < F.lit(self.cfg.max_attempts))
+                )
+                .select(
+                    "url_canon", "host",
+                    # +1 priority backoff: sorts behind same-depth peers
+                    (F.col("priority") + 1).alias("priority"),
+                    "discovery_ts", "depth",
+                    (F.col("attempts") + 1).alias("attempts"),
+                )
+                .withColumn("fkey", _fkey_col())
+            )
+        if n_failed:
+            dead_rows = results.filter(
+                (F.col("status") == 410)
+                | (
+                    (F.col("status") == 503)
+                    & (F.col("attempts") + 1 >= F.lit(self.cfg.max_attempts))
+                )
+            ).select(
+                "url_canon",
+                "status",
+                (F.col("attempts") + 1).alias("tries"),
+                F.lit(rnd).alias("round"),
+            )
 
         # -- extract + canonicalize (dedup happens fused with the seen probe)
         children = (
@@ -868,19 +975,29 @@ class CrawlEngine:
         # (same manifest), so the append waits on it here.
         def _commit_frontier():
             fut_frontier_delete.result()
-            self.catalog.append("frontier", allowed_new.select(*FRONTIER_COLS))
+            front_new = (
+                allowed_new.select(*FRONTIER_COLS)
+                .withColumn("attempts", F.lit(0))
+                .withColumn("fkey", _fkey_col())
+                .select(*FRONTIER_TABLE_COLS)
+            )
+            if retry_rows is not None:
+                front_new = front_new.unionByName(retry_rows.select(*FRONTIER_TABLE_COLS))
+            self.catalog.append("frontier", front_new)
 
         def _commit_seen_state():
             self._append_seen_state(new_urls.select("url_canon"), epoch=rnd)
 
+        def _commit_failed():
+            self.catalog.append("failed", dead_rows)
+
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futs = [
-                pool.submit(f)
-                for f in (_commit_seen, _commit_blocked, _commit_frontier,
-                          _commit_seen_state)
-            ]
+        commits = [_commit_seen, _commit_blocked, _commit_frontier, _commit_seen_state]
+        if dead_rows is not None:
+            commits.append(_commit_failed)
+        with ThreadPoolExecutor(max_workers=len(commits)) as pool:
+            futs = [pool.submit(f) for f in commits]
             for fu in futs:
                 fu.result()
         n_new = int(obs_seen.get["n"])
@@ -913,7 +1030,9 @@ class CrawlEngine:
             frontier_after = self.catalog.read("frontier", self.spark).count()
             seen_after = self.catalog.read("seen", self.spark).count()
         else:
-            frontier_after = prev_frontier - n_fetched + (n_new - n_blocked_new)
+            # scheduled rows leave, allowed discoveries and backoff
+            # re-inserts enter; every new URL (allowed or blocked) enters seen
+            frontier_after = prev_frontier - n_fetched + (n_new - n_blocked_new) + n_retried
             seen_after = prev_seen + n_new
 
         # compaction policy: fold delete files into the data when they
@@ -954,7 +1073,10 @@ class CrawlEngine:
         )
         tm.mark("write_lineage")
 
-        stats = RoundStats(rnd, n_fetched, links_extracted, n_new, frontier_after, seen_after)
+        stats = RoundStats(
+            rnd, n_fetched, links_extracted, n_new, frontier_after, seen_after,
+            redirects=n_redirects, retried=n_retried, failed=n_failed,
+        )
         metrics_schema = pa.schema(
             [("round", pa.int32()), ("metric", pa.string()), ("value", pa.float64())]
         )
@@ -1064,10 +1186,22 @@ class CrawlEngine:
 
     def images(self) -> DataFrame:
         cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url_canon", "seq"]
-        df = self._pages_or_empty().select(*cols)
+        # only 200-status fetches carry a payload (redirects/failures land
+        # in pages for the fetch log, with null image columns)
+        df = self._pages_or_empty().filter(F.col("status") == 200).select(*cols)
         if self.catalog.exists("images"):
             df = self.catalog.read("images", self.spark).select(*cols).unionByName(df)
         return df
+
+    def failed_set(self) -> DataFrame:
+        """Dead-letter table: URLs that exhausted their retry budget (503 x
+        max_attempts) or were permanently gone (410), with the final status
+        and total tries."""
+        if self.catalog.exists("failed"):
+            return self.catalog.read("failed", self.spark)
+        return self.spark.createDataFrame(
+            [], "url_canon string, status int, tries int, round int"
+        )
 
 
 def validate_images(images: DataFrame) -> DataFrame:

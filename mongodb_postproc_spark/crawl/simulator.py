@@ -24,18 +24,29 @@ CRAWL SPEC (normative — the Spark engine must reproduce this exactly):
        consecutive seq numbers continue across rounds (0-based).
        [politeness: two same-host fetches are >= crawl_delay apart in
         slot time; order is a pure data property — no wall clock.]
-    3. fetch each scheduled URL in seq order: links_for(url) yields raw
-       children at positions i; child discovery_ts = seq * link_tick + i
-       (the (page_no, link_index) total order of the reference,
-       /root/reference/findMissingPages.py:24-35).
+    3. fetch each scheduled URL in seq order; the fetch returns
+       status = status_for(url, attempts) (200 unless cfg.web.status_mix):
+         200 → links_for(url) yields raw children at positions i
+         301 → one child, the redirect Location, at position 0 (no payload)
+         503 → transient: no children; if attempts+1 < max_attempts the URL
+               re-enters the frontier with attempts+1, SAME discovery_ts
+               and depth, priority+1 (backoff penalty — it sorts behind
+               same-depth peers next round); else → failed dead-letter
+         410 → permanently gone: no children, straight to failed.
+       Every attempt consumes its politeness slot and a seq number.
+       Child discovery_ts = seq * link_tick + i (the (page_no, link_index)
+       total order of the reference, /root/reference/findMissingPages.py:
+       24-35).
     4. discover: canonicalize children; first occurrence wins within the
        round (min discovery_ts); drop already-seen; add the rest to seen;
        robots-blocked go to blocked; others join the frontier with
-       depth = parent_depth + 1, priority = depth.
+       depth = parent_depth + 1, priority = depth, attempts = 0.
+       (A retry re-insert is NOT a discovery — its URL is already seen and
+       it bypasses robots re-checks.)
     5. unscheduled frontier entries carry over to the next round.
 
   outputs: fetch_order [(seq, url_canon, host, round)], seen set,
-           blocked set, per-round metrics.
+           blocked set, failed {url: final_status}, per-round metrics.
 """
 
 from __future__ import annotations
@@ -52,6 +63,7 @@ class SimResult:
     seen: set[str]
     blocked: set[str]
     metrics: list[dict] = field(default_factory=list)
+    failed: dict[str, int] = field(default_factory=dict)  # url -> final status
 
 
 def simulate_crawl(cfg: CrawlConfig) -> SimResult:
@@ -60,8 +72,9 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
 
     seen: set[str] = set()
     blocked: set[str] = set()
-    # frontier entries: dict url_canon -> (priority, discovery_ts, depth)
-    frontier: dict[str, tuple[int, int, int]] = {}
+    failed: dict[str, int] = {}
+    # frontier entries: dict url_canon -> (priority, discovery_ts, depth, attempts)
+    frontier: dict[str, tuple[int, int, int, int]] = {}
 
     def discover(url_canon: str, priority: int, ts: int, depth: int) -> None:
         if url_canon in seen:
@@ -73,7 +86,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
         if rules and robots_blocked(path, rules["rules"]):
             blocked.add(url_canon)
             return
-        frontier[url_canon] = (priority, ts, depth)
+        frontier[url_canon] = (priority, ts, depth, 0)
 
     for idx, raw in enumerate(web.seed_urls(cfg.n_seeds)):
         canon = canonicalize_py(raw)
@@ -98,19 +111,34 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 scheduled.append((k * delay, host, u))
         scheduled.sort()  # (offset_ms, host, url_canon)
 
-        # --- fetch in order; extract + discover
-        n_links = n_new = 0
+        # --- fetch in order; extract + discover; route failures
+        n_links = n_new = n_redirects = n_retried = n_failed = 0
         for offset_ms, host, url in scheduled:
-            depth = frontier.pop(url)[2]
+            priority, ts, depth, attempts = frontier.pop(url)
             fetch_order.append((seq, url, host, rnd))
-            for i, raw_child in enumerate(web.links_for(url)):
-                n_links += 1
-                canon = canonicalize_py(raw_child)
-                if canon is None:
-                    continue
-                before = len(seen)
-                discover(canon, depth + 1, seq * cfg.link_tick + i, depth + 1)
-                n_new += len(seen) - before
+            status = web.status_for(url, attempts)
+            if status == 503:
+                if attempts + 1 < cfg.max_attempts:
+                    # backoff re-insert: NOT a discovery (already seen)
+                    frontier[url] = (priority + 1, ts, depth, attempts + 1)
+                    n_retried += 1
+                else:
+                    failed[url] = status
+                    n_failed += 1
+            elif status == 410:
+                failed[url] = status
+                n_failed += 1
+            else:
+                if status == 301:
+                    n_redirects += 1
+                for i, raw_child in enumerate(web.links_for_status(url, status)):
+                    n_links += 1
+                    canon = canonicalize_py(raw_child)
+                    if canon is None:
+                        continue
+                    before = len(seen)
+                    discover(canon, depth + 1, seq * cfg.link_tick + i, depth + 1)
+                    n_new += len(seen) - before
             seq += 1
         metrics.append(
             {
@@ -120,6 +148,11 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 "new_urls": n_new,
                 "frontier_after": len(frontier),
                 "seen_after": len(seen),
+                "redirects": n_redirects,
+                "retried": n_retried,
+                "failed": n_failed,
             }
         )
-    return SimResult(fetch_order=fetch_order, seen=seen, blocked=blocked, metrics=metrics)
+    return SimResult(
+        fetch_order=fetch_order, seen=seen, blocked=blocked, metrics=metrics, failed=failed
+    )

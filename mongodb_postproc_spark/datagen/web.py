@@ -31,6 +31,12 @@ class WebConfig:
     cold_pages: int = 48  # pages on every other host
     seed: str = "web-v1"
     frag_queries: bool = True
+    # HTTP status mix: when True, fetches deterministically return 301
+    # (redirect), 410 (permanently gone) and 503 (transient, succeeds after
+    # 1-2 retries) alongside 200 — the failure surface a real crawler
+    # schedules around. Default False keeps every pre-existing fixture
+    # byte-identical (all fetches 200).
+    status_mix: bool = False
 
     def pages(self, host_i: int) -> int:
         return self.hot_pages if host_i == 0 else self.cold_pages
@@ -97,6 +103,48 @@ class SyntheticWeb:
             q = (hv >> 16) % 7 if (cfg.frag_queries and hv % 5 == 0) else None
             links.append(self._noisy(tgt_host, page, q, hv >> 4))
         return links
+
+    # ------------------------------------------------------------ status
+    def status_for(self, url_canon: str, attempts: int) -> int:
+        """Deterministic HTTP status of fetching ``url_canon`` on retry
+        number ``attempts`` (0 = first try). Pure function of (url, attempts)
+        so the sequential oracle and the Spark engine agree at any
+        parallelism. Mix (when ``status_mix``): ~4% redirects, ~3% gone,
+        ~7% transient (each succeeding on its 1st or 2nd retry), rest 200.
+        The per-URL transient budget mirrors the reference's fixed retry
+        loop around flaky page fetches (/root/reference/findMissingPages.py:
+        26-29 re-requests inside one politeness sleep)."""
+        if not self.cfg.status_mix:
+            return 200
+        hv = h60(self.cfg.seed + "|st|" + url_canon)
+        if hv % 23 == 0:
+            return 301
+        if hv % 31 == 0:
+            return 410
+        if hv % 29 < 2:
+            needed = 1 + ((hv >> 8) % 2)  # succeeds on attempt 1 or 2
+            return 200 if attempts >= needed else 503
+        return 200
+
+    def redirect_target(self, url_canon: str) -> str:
+        """Raw Location header of a 301 page — a deterministic (possibly
+        noisy) spelling of another page; the crawler treats it as a
+        discovery at link position 0."""
+        hv = h60(self.cfg.seed + "|rt|" + url_canon)
+        tgt_host = hv % self.cfg.n_hosts
+        page = (hv >> 8) % self.cfg.pages(tgt_host)
+        q = (hv >> 16) % 7 if (self.cfg.frag_queries and hv % 5 == 0) else None
+        return self._noisy(tgt_host, page, q, hv >> 4)
+
+    def links_for_status(self, url_canon: str, status: int) -> list[str]:
+        """Out-links as a function of fetch status: a 200 page yields its
+        document links, a 301 yields exactly its Location target (the
+        redirect IS a discovery), failures yield nothing."""
+        if status == 200:
+            return self.links_for(url_canon)
+        if status == 301:
+            return [self.redirect_target(url_canon)]
+        return []
 
     # ------------------------------------------------------------ seeds
     def seed_url_at(self, s: int) -> str:
@@ -197,4 +245,9 @@ class CrawlConfig:
     max_rounds: int = 4
     per_host_cap: int = 8  # max fetches per host per round (politeness budget)
     link_tick: int = 1000  # discovery_ts = fetch_seq * link_tick + link_index
+    # transient-failure budget: a URL whose fetch returns 503 re-enters the
+    # frontier with attempts+1 and a +1 priority penalty (backoff: it sorts
+    # behind same-depth peers) until it has been tried max_attempts times,
+    # then lands in the `failed` dead-letter table and is never refetched
+    max_attempts: int = 3
     web: WebConfig = field(default_factory=WebConfig)
