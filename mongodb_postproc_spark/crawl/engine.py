@@ -625,6 +625,38 @@ class CrawlEngine:
             .withColumn("priority", F.lit(0))
             .withColumn("depth", F.lit(0))
         )
+        if self.cfg.web.sitemaps:
+            # sitemap amplification: every distinct seed host publishes a
+            # sitemap (named by its robots.txt); entry i is a discovery at
+            # ts = n_seeds + i, priority 0, depth 0. Entries are host-local,
+            # so (url, ts) collisions across hosts are impossible, and the
+            # min-ts window dedup below makes seeds win ties — identical to
+            # the oracle's first-come-wins order. Host extraction runs on
+            # the already-generated seed rows; the sitemap fetch itself is
+            # one mapInPandas over the (tiny) distinct-host relation.
+            n_seeds = self.cfg.n_seeds
+
+            def gen_sitemaps(batches):
+                web = SyntheticWeb(web_cfg)
+                for pdf in batches:
+                    raws, tss = [], []
+                    for host in pdf["host"]:
+                        for i, raw in enumerate(web.sitemap_urls(host)):
+                            raws.append(raw)
+                            tss.append(n_seeds + i)
+                    yield pd.DataFrame({"raw_url": raws, "discovery_ts": tss})
+
+            sm = (
+                seeds.select("host").distinct()
+                .mapInPandas(gen_sitemaps, "raw_url string, discovery_ts long")
+                .withColumn("url_canon", canonical_url_col(F.col("raw_url")))
+                .filter(F.col("url_canon").isNotNull())
+                .withColumn("host", host_col(F.col("url_canon")))
+                .withColumn("priority", F.lit(0))
+                .withColumn("depth", F.lit(0))
+            )
+            seeds = seeds.unionByName(sm.select(*seeds.columns))
+
         # seed keys honor the step-9 IDN contract too: non-ASCII hosts are
         # rewritten to xn-- form BEFORE the first-discovery dedup, so a seed
         # and a later link in different spellings share one canonical key

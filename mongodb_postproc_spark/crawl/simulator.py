@@ -15,6 +15,13 @@ CRAWL SPEC (normative — the Spark engine must reproduce this exactly):
          depth = 0. Duplicate canonical seeds keep the first occurrence.
          Robots-blocked seeds enter `seen` + `blocked`, never the frontier.
 
+  sitemaps (cfg.web.sitemaps): each distinct host among the canonical
+         seeds publishes sitemap entries; entry at position i is discovered
+         at init with discovery_ts = n_seeds + i, priority = 0, depth = 0.
+         Seeds win dedup ties against sitemap entries (smaller ts); a URL
+         cannot appear in two hosts' sitemaps (entries are host-local), so
+         (url, ts) stays unambiguous. Blocked entries go to `blocked`.
+
   round r = 0..max_rounds-1, while the frontier is non-empty:
     1. schedule: within each host, order frontier entries by
        (priority ASC, discovery_ts ASC, url_canon ASC); take the first
@@ -88,10 +95,18 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
             return
         frontier[url_canon] = (priority, ts, depth, 0)
 
+    seed_hosts: set[str] = set()
     for idx, raw in enumerate(web.seed_urls(cfg.n_seeds)):
         canon = canonicalize_py(raw)
         if canon is not None:
+            seed_hosts.add(host_py(canon))
             discover(canon, 0, idx, 0)
+    if cfg.web.sitemaps:
+        for host in sorted(seed_hosts):
+            for i, raw in enumerate(web.sitemap_urls(host)):
+                canon = canonicalize_py(raw)
+                if canon is not None:
+                    discover(canon, 0, cfg.n_seeds + i, 0)
 
     fetch_order: list[tuple[int, str, str, int]] = []
     metrics: list[dict] = []

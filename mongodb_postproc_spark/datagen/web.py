@@ -37,6 +37,12 @@ class WebConfig:
     # schedules around. Default False keeps every pre-existing fixture
     # byte-identical (all fetches 200).
     status_mix: bool = False
+    # sitemaps: when True, every host that appears among the canonical
+    # seeds publishes a sitemap (named by its robots.txt) whose entries
+    # amplify the seed frontier at init — deduped against the seeds and
+    # robots-split like any other discovery. Default False: no sitemaps,
+    # pre-existing fixtures byte-identical.
+    sitemaps: bool = False
 
     def pages(self, host_i: int) -> int:
         return self.hot_pages if host_i == 0 else self.cold_pages
@@ -158,6 +164,30 @@ class SyntheticWeb:
     def seed_urls(self, n_seeds: int) -> list[str]:
         """Raw seed list (with noise) — one seed page per host round-robin."""
         return [self.seed_url_at(s) for s in range(n_seeds)]
+
+    # ------------------------------------------------------------ sitemaps
+    def sitemap_urls(self, host: str) -> list[str]:
+        """Raw entries of ``host``'s sitemap, in document order (the
+        sitemap.xml a real robots.txt would name). Entries point at the
+        host's own pages; they carry the same canonicalization noise as
+        links, occasionally duplicate a page the seeds/links also reach
+        (dedup must collapse), and occasionally list a robots-blocked
+        /private path (real sitemaps do list pages robots then forbids —
+        the robots split must catch them)."""
+        if not self.cfg.sitemaps:
+            return []
+        host_i = int(host[4:host.index(".")])  # host_name(i) = f"host{i}.test"
+        hv = h60(self.cfg.seed + "|sm|" + host)
+        out = []
+        for i in range(hv % 7):  # 0..6 entries per host
+            e = h60(f"{self.cfg.seed}|smu|{host}|{i}")
+            page = (e >> 8) % self.cfg.pages(host_i)
+            if e % 13 == 0:
+                out.append(f"http://{host}/private/{page}")
+            else:
+                q = (e >> 16) % 7 if (self.cfg.frag_queries and e % 5 == 0) else None
+                out.append(self._noisy(host_i, page, q, e >> 4))
+        return out
 
     # ------------------------------------------------------------ robots
     def robots_rows(self) -> list[dict]:
