@@ -735,6 +735,25 @@ class CrawlEngine:
         ):
             self._reconcile_to_state(state)
         frontier = self._read("frontier", state)
+        # one-time schema migration for workdirs checkpointed before retry
+        # support: fold the legacy url-keyed delete files (compact clears
+        # the table's delete key) and add the attempts/fkey columns, so this
+        # round's fkey-keyed delete chain can proceed. O(frontier) once; a
+        # crash before the round's state commit resumes at the legacy pin
+        # and simply re-migrates.
+        if "attempts" not in frontier.columns:
+            self.catalog.create_or_replace(
+                "frontier",
+                frontier.withColumn("attempts", F.lit(0)).withColumn("fkey", _fkey_col()),
+            )
+            state = dict(
+                state,
+                snapshots=dict(
+                    state["snapshots"],
+                    frontier=self.catalog.snapshots("frontier")[-1]["id"],
+                ),
+            )
+            frontier = self._read("frontier", state)
         # counter bookkeeping replaces an isEmpty() probe job; states written
         # by older checkpoints fall back to the probe
         if state.get("frontier_count", None) is not None:
@@ -778,10 +797,6 @@ class CrawlEngine:
             )
             .drop("__hr", "crawl_delay_ms")
         )
-        if "attempts" not in frontier.columns:
-            # legacy checkpoint written before retry support: all rows are
-            # first attempts
-            sched = sched.withColumn("attempts", F.lit(0))
         sched = assign_global_seq(
             sched, ["offset_ms", "host", "url_canon"], out_col="seq", start=state["next_seq"]
         )
